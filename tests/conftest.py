@@ -7,12 +7,20 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the driver environment presets JAX_PLATFORMS=axon (TPU tunnel) and a
+# sitecustomize registers the axon PJRT plugin at interpreter start, so the
+# env var alone is not enough — override via jax.config before any backend
+# initialization
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,180 @@
+"""VolumeForwardTracer physics validation (model: reference
+tests/test_trace_energy.py:833-950 "spherical light source placed within a
+spherical target" — energy conservation after undoing absorption)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import theia_tpu.units as u
+from theia_tpu.callback import EventStatisticCallback
+from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+from theia_tpu.material import (
+    DispersionFreeMedium,
+    HenyeyGreensteinPhaseFunction,
+    KokhanovskyOceanWaterPhaseMatrix,
+    MediumModel,
+)
+from theia_tpu.random import PhiloxRNG
+from theia_tpu.response import HistogramHitResponse, HitRecorder
+from theia_tpu.target import InnerSphereTarget
+from theia_tpu.trace import VolumeForwardTracer
+
+
+class Model(
+    DispersionFreeMedium,
+    HenyeyGreensteinPhaseFunction,
+    KokhanovskyOceanWaterPhaseMatrix,
+    MediumModel,
+):
+    ModelName = "homogenous"
+
+    def __init__(self, a, s, g, *, n=1.33, ng=1.33):
+        DispersionFreeMedium.__init__(self, n=n, ng=ng, mu_a=a, mu_s=s)
+        HenyeyGreensteinPhaseFunction.__init__(self, g)
+        KokhanovskyOceanWaterPhaseMatrix.__init__(
+            self, p90=0.66, theta0=0.25, alpha=4.0, xi=25.6
+        )
+
+
+def run_tracer(
+    mu_a,
+    mu_s,
+    mu_sample,
+    g,
+    disableDirect=False,
+    sampleTarget=True,
+    batch_size=128 * 1024,
+    n_batches=4,
+):
+    position = (12.0, 15.0, 0.2)
+    radius = 100.0 * u.m
+    budget = 1e9
+    t0 = 10.0 * u.ns
+    lam = 400.0 * u.nm
+
+    model = Model(mu_a, mu_s, g)
+    medium = model.createMedium()
+
+    rng = PhiloxRNG(key=0xC0FFEE)
+    photons = UniformWavelengthSource(lambdaRange=(lam, lam))
+    light = SphericalLightSource(
+        position=position, timeRange=(t0, t0), budget=budget
+    )
+    target = InnerSphereTarget(position=position, radius=radius)
+    recorder = HitRecorder()
+    tracer = VolumeForwardTracer(
+        batch_size,
+        light,
+        target,
+        photons,
+        recorder,
+        rng,
+        medium=medium,
+        maxTime=float("inf"),
+        nScattering=10,
+        scatterCoefficient=mu_sample,
+        disableDirectLighting=disableDirect,
+        disableTargetSampling=not sampleTarget,
+        callback=EventStatisticCallback(),
+    )
+
+    total = 0.0
+    stats_sum = None
+    for _ in range(n_batches):
+        hits, stats = tracer.run()
+        valid = np.asarray(hits["valid"])
+        time = np.asarray(hits["time"])[valid]
+        contrib = np.asarray(hits["contrib"])[valid]
+        vg = 1.0 / model.ng * u.c
+        d = vg * (time - t0)
+        total += (contrib * np.exp(mu_a * d)).sum()
+        stats_sum = stats if stats_sum is None else {
+            k: stats_sum[k] + v for k, v in stats.items()
+        }
+
+    direct_contrib = budget * np.exp(-mu_s * radius)
+    expected = budget - direct_contrib if disableDirect else budget
+    estimate = total / (batch_size * n_batches)
+    return estimate, expected, stats_sum
+
+
+# reference parametrization (subset, unpolarized) with tolerances widened
+# ~4x for the ~13x smaller sample count
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "mu_a,mu_s,mu_sample,g,disableDirect,sampleTarget,err",
+    [
+        (0.0, 0.005, 0.05, 0.0, False, True, 4e-3),
+        (0.05, 0.01, 0.05, 0.0, False, True, 8e-3),
+        (0.05, 0.01, 0.05, 0.9, False, True, 2.4e-2),
+        (0.05, 0.01, 0.05, -0.9, False, True, 1.6e-2),
+        (0.05, 0.01, np.nan, 0.9, False, True, 1.2e-2),
+        (0.0, 0.005, 0.05, 0.0, True, True, 4e-3),
+        (0.05, 0.01, 0.05, 0.9, True, False, 1.2e-2),
+        # no-MIS + direct: rare exp(+4.5)-weighted direct hits -> heavy tail
+        (0.0, 0.005, 0.05, 0.0, False, False, 6.0e-2),
+    ],
+)
+def test_volume_forward_energy(
+    mu_a, mu_s, mu_sample, g, disableDirect, sampleTarget, err
+):
+    estimate, expected, stats = run_tracer(
+        mu_a, mu_s, mu_sample, g, disableDirect, sampleTarget
+    )
+    assert np.abs(estimate / expected - 1.0) < err
+
+
+def test_volume_forward_quick():
+    """Fast smoke version of the energy test (not marked slow)."""
+    estimate, expected, stats = run_tracer(
+        0.0, 0.005, 0.05, 0.0, batch_size=32 * 1024, n_batches=2
+    )
+    assert np.abs(estimate / expected - 1.0) < 0.02
+    assert stats["created"] == 2 * 32 * 1024
+
+
+def test_histogram_matches_recorder():
+    """Histogram response must equal the binned recorder output."""
+    position = (0.0, 0.0, 0.0)
+    t0, bin_size, n_bins = 0.0, 50.0, 40
+    model = Model(0.01, 0.01, 0.3)
+    medium = model.createMedium()
+
+    def build(response, batch):
+        rng = PhiloxRNG(key=0xDEADBEEF)
+        return VolumeForwardTracer(
+            batch,
+            SphericalLightSource(
+                position=position, timeRange=(0.0, 0.0), budget=1e6
+            ),
+            InnerSphereTarget(position=position, radius=50.0),
+            UniformWavelengthSource(lambdaRange=(400.0, 400.0)),
+            response,
+            rng,
+            medium=medium,
+            nScattering=6,
+            scatterCoefficient=0.02,
+        )
+
+    batch = 16 * 1024
+    recorder = HitRecorder()
+    hist_resp = HistogramHitResponse(
+        nBins=n_bins, t0=t0, binSize=bin_size
+    )
+    rec_hits, _ = build(recorder, batch).run()
+    hist, _ = build(hist_resp, batch).run()
+
+    valid = np.asarray(rec_hits["valid"])
+    times = np.asarray(rec_hits["time"])[valid]
+    contrib = np.asarray(rec_hits["contrib"])[valid]
+    expected, _ = np.histogram(
+        times,
+        bins=n_bins,
+        range=(t0, t0 + n_bins * bin_size),
+        weights=(contrib / batch).astype(np.float64),
+    )
+    # device accumulates in float32 -> summation-order differences
+    assert np.allclose(np.asarray(hist), expected, rtol=2e-3, atol=1e-8)

@@ -1,0 +1,139 @@
+"""Trace event callbacks.
+
+Called after every trace step with the wavefront's result codes; used for
+live statistics and path recording (reference: src/theia/trace.py:49-305,
+shader/callback.stat.glsl, shader/callback.track.glsl). Atomic counters
+become masked reductions over the wavefront.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .component import Component
+from .trace.core import EventResultCode, RayState
+
+__all__ = [
+    "TraceEventCallback",
+    "EmptyEventCallback",
+    "EventStatisticCallback",
+    "TrackRecordCallback",
+]
+
+
+class TraceEventCallback(Component):
+    """Base class; ``on_event`` folds one step's events into the state."""
+
+    name = "Trace Event Callback"
+
+    def init(self, batch_size: int, max_steps: int):
+        return None
+
+    def on_event(
+        self, params, state, ray: RayState, code: jax.Array, mask: jax.Array, i
+    ):
+        return state
+
+    def result(self, params, state):
+        return state
+
+
+class EmptyEventCallback(TraceEventCallback):
+    name = "Empty Event Callback"
+
+
+#: statistic field order (reference: shader/callback.stat.glsl:7-19)
+STAT_FIELDS = (
+    "created",
+    "scattered",
+    "hit",
+    "detected",
+    "volume",
+    "lost",
+    "decayed",
+    "absorbed",
+    "missed",
+    "maxIter",
+    "error",
+    "mismatch",
+)
+
+_CODE_TO_FIELD = {
+    int(EventResultCode.RAY_CREATED): 0,
+    int(EventResultCode.RAY_SCATTERED): 1,
+    int(EventResultCode.RAY_HIT): 2,
+    int(EventResultCode.RAY_DETECTED): 3,
+    int(EventResultCode.VOLUME_HIT): 4,
+    int(EventResultCode.RAY_LOST): 5,
+    int(EventResultCode.RAY_DECAYED): 6,
+    int(EventResultCode.RAY_ABSORBED): 7,
+    int(EventResultCode.RAY_MISSED): 8,
+    int(EventResultCode.MAX_ITER): 9,
+    int(EventResultCode.ERROR_MEDIA_MISMATCH): 11,
+}
+
+
+class EventStatisticCallback(TraceEventCallback):
+    """Counts events per result code
+    (reference: src/theia/trace.py:77-186, shader/callback.stat.glsl)."""
+
+    name = "Event Statistic Callback"
+
+    def init(self, batch_size: int, max_steps: int):
+        return jnp.zeros(len(STAT_FIELDS), jnp.int32)
+
+    def on_event(self, params, state, ray, code, mask, i):
+        for c, field in _CODE_TO_FIELD.items():
+            state = state.at[field].add(
+                jnp.sum((mask & (code == c)).astype(jnp.int32))
+            )
+        # all errors also counted together
+        err = mask & (code <= int(EventResultCode.ERROR_CODE_MAX_VALUE))
+        return state.at[10].add(jnp.sum(err.astype(jnp.int32)))
+
+    def result(self, params, state) -> dict[str, int]:
+        vals = np.asarray(state)
+        return {f: int(v) for f, v in zip(STAT_FIELDS, vals)}
+
+
+class TrackRecordCallback(TraceEventCallback):
+    """Records full paths (position + time per step) for visualization
+    (reference: src/theia/trace.py:189-305, shader/callback.track.glsl)."""
+
+    name = "Track Record Callback"
+
+    def init(self, batch_size: int, max_steps: int):
+        self._max_steps = max_steps
+        return dict(
+            length=jnp.zeros(batch_size, jnp.int32),
+            code=jnp.zeros(batch_size, jnp.int32),
+            track=jnp.zeros((max_steps, batch_size, 4), jnp.float32),
+        )
+
+    def on_event(self, params, state, ray, code, mask, i):
+        record = mask & (code != int(EventResultCode.MAX_ITER))
+        length = jnp.where(record, i, state["length"])
+        new_code = jnp.where(record, code, state["code"])
+        point = jnp.concatenate([ray.position, ray.time[..., None]], axis=-1)
+        i_arr = jnp.asarray(i, jnp.int32)
+
+        def write(track):
+            old = jax.lax.dynamic_index_in_dim(track, i_arr, axis=0, keepdims=False)
+            new = jnp.where(record[..., None], point, old)
+            return jax.lax.dynamic_update_index_in_dim(track, new, i_arr, axis=0)
+
+        track = jax.lax.cond(
+            i_arr < self._max_steps, write, lambda t: t, state["track"]
+        )
+        return dict(length=length, code=new_code, track=track)
+
+    def result(self, params, state):
+        return {
+            "length": np.asarray(state["length"]),
+            "code": np.asarray(state["code"]),
+            "track": np.transpose(np.asarray(state["track"]), (1, 0, 2)),
+        }

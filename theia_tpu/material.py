@@ -107,11 +107,9 @@ class Medium:
     phase_m34: jax.Array | None = None
     name: str = field(default="unnamed", metadata=dict(static=True))
 
-    def __post_init__(self):
-        object.__setattr__(self, "lambda_min", jnp.asarray(self.lambda_min, jnp.float32))
-        object.__setattr__(self, "lambda_max", jnp.asarray(self.lambda_max, jnp.float32))
-        for p in _TABLE_PROPS:
-            object.__setattr__(self, p, _as_table(getattr(self, p)))
+    # NOTE: no __post_init__ conversion — jit unflattening rebuilds the
+    # dataclass with tracer leaves, so leaves must pass through untouched.
+    # numpy arrays / python floats are valid pytree leaves for jit.
 
     # -- serialization (npz format compatible with the reference,
     #    src/theia/material.py:389-438) --
@@ -571,19 +569,23 @@ class MediumModel:
         l = np.linspace(lambda_min, lambda_max, num_lambda)
         t = np.linspace(-1.0, 1.0, num_theta)
         e = np.linspace(0.0, 1.0, num_theta)
+
+        def f32(x):
+            return None if x is None else np.asarray(x, np.float32)
+
         return Medium(
-            lambda_min,
-            lambda_max,
-            refractive_index=self.refractive_index(l),
-            group_velocity=self.group_velocity(l),
-            absorption_coef=self.absorption_coef(l),
-            scattering_coef=self.scattering_coef(l),
-            log_phase_function=self.log_phase_function(t),
-            phase_sampling=self.phase_sampling(e),
-            phase_m12=self.phase_m12(t),
-            phase_m22=self.phase_m22(t),
-            phase_m33=self.phase_m33(t),
-            phase_m34=self.phase_m34(t),
+            np.float32(lambda_min),
+            np.float32(lambda_max),
+            refractive_index=f32(self.refractive_index(l)),
+            group_velocity=f32(self.group_velocity(l)),
+            absorption_coef=f32(self.absorption_coef(l)),
+            scattering_coef=f32(self.scattering_coef(l)),
+            log_phase_function=f32(self.log_phase_function(t)),
+            phase_sampling=f32(self.phase_sampling(e)),
+            phase_m12=f32(self.phase_m12(t)),
+            phase_m22=f32(self.phase_m22(t)),
+            phase_m33=f32(self.phase_m33(t)),
+            phase_m34=f32(self.phase_m34(t)),
             name=name if name is not None else self.ModelName,
         )
 

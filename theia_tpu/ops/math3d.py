@@ -49,11 +49,15 @@ def cross(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def norm(a: jax.Array) -> jax.Array:
-    return jnp.sqrt(dot(a, a))
+    # the eps floor keeps norm/normalize finite (0/0 = NaN on masked dead
+    # lanes otherwise) and the sqrt VJP finite at a == 0; must be a NORMAL
+    # float32 — XLA flushes subnormals like 1e-38 to zero. Primal error
+    # <= 1e-15, far below float32 noise on any real distance.
+    return jnp.sqrt(jnp.maximum(dot(a, a), jnp.float32(1e-30)))
 
 
 def normalize(a: jax.Array) -> jax.Array:
-    return a / jnp.maximum(norm(a), jnp.float32(1e-38))[..., None]
+    return a / norm(a)[..., None]
 
 
 def distance(a: jax.Array, b: jax.Array) -> jax.Array:

@@ -1,0 +1,25 @@
+"""Tracers: Monte Carlo estimators producing detector hits from light."""
+
+from .core import (
+    EventResultCode,
+    HitItem,
+    PropagateParams,
+    RayState,
+    create_hit,
+)
+
+_LAZY = {
+    "VolumeForwardTracer": ".volume",
+    "VolumeBackwardTracer": ".volume",
+}
+
+
+def __getattr__(name: str):
+    # tracer modules import components (callback, response, ...) which in
+    # turn import trace.core — load them lazily to avoid import cycles
+    if name in _LAZY:
+        import importlib
+
+        module = importlib.import_module(_LAZY[name], __name__)
+        return getattr(module, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
