@@ -1,0 +1,173 @@
+"""SceneForwardTracer validation (model: reference
+tests/test_trace_energy.py:58-184 ground truth and :187-352 cross-check)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import theia_tpu.units as u
+from theia_tpu.callback import EventStatisticCallback
+from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+from theia_tpu.material import (
+    DispersionFreeMedium,
+    HenyeyGreensteinPhaseFunction,
+    Material,
+    MaterialStore,
+    MediumModel,
+)
+from theia_tpu.random import PhiloxRNG
+from theia_tpu.response import HistogramHitResponse, HitRecorder
+from theia_tpu.scene import MeshStore, Scene, Transform
+from theia_tpu.target import SphereTargetGuide
+from theia_tpu.trace.scene import SceneForwardTracer
+
+ASSETS = "/root/reference/assets"
+
+
+class Model(DispersionFreeMedium, HenyeyGreensteinPhaseFunction, MediumModel):
+    ModelName = "homogenous"
+
+    def __init__(self, a, s, g, *, n=1.33, ng=1.33):
+        DispersionFreeMedium.__init__(self, n=n, ng=ng, mu_a=a, mu_s=s)
+        HenyeyGreensteinPhaseFunction.__init__(self, g)
+
+
+def run_ground_truth(mu_a, mu_s, g, batch_size=16 * 1024, n_batches=4):
+    """Sphere detector filled with scattering medium, spherical source at
+    the center — no light escapes."""
+    position = (12.0, 15.0, 0.2)
+    radius = 100.0 * u.m
+    budget = 1e9
+    t0 = 10.0 * u.ns
+    lam = 400.0 * u.nm
+
+    model = Model(mu_a, mu_s, g)
+    medium = model.createMedium()
+    material = Material("det", medium, None, flags="DB")
+    mat_store = MaterialStore.pack([material])
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+    trafo = Transform.TRS(scale=radius, translate=position)
+    target = meshes.createInstance("sphere", "det", trafo, detectorId=0)
+    scene = Scene([target], mat_store, medium="homogenous")
+
+    rng = PhiloxRNG(key=0xC0FFEE)
+    recorder = HitRecorder()
+    tracer = SceneForwardTracer(
+        batch_size,
+        SphericalLightSource(position=position, timeRange=(t0, t0), budget=budget),
+        UniformWavelengthSource(lambdaRange=(lam, lam)),
+        recorder,
+        rng,
+        scene,
+        maxPathLength=10,
+        scatterCoefficient=0.05,
+        maxTime=float("inf"),
+        callback=EventStatisticCallback(),
+    )
+
+    total = 0.0
+    positions = []
+    for _ in range(n_batches):
+        hits, stats = tracer.run()
+        valid = np.asarray(hits["valid"])
+        time = np.asarray(hits["time"])[valid]
+        contrib = np.asarray(hits["contrib"])[valid]
+        vg = 1.0 / model.ng * u.c
+        d = vg * (time - t0)
+        total += (contrib * np.exp(mu_a * d)).sum()
+        positions.append(np.asarray(hits["position"])[valid])
+    estimate = total / (batch_size * n_batches)
+    return estimate, budget, np.concatenate(positions), stats
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "mu_a,mu_s,g,err",
+    [
+        (0.0, 0.005, 0.0, 0.06),
+        (0.05, 0.01, 0.0, 0.06),
+        # backscatter + absorption-undo exp(mu_a*d) is extremely heavy-
+        # tailed; the reference needs 84M samples for 5% here
+        (0.05, 0.01, -0.9, 0.25),
+        (0.05, 0.01, 0.9, 0.06),
+    ],
+)
+def test_scene_forward_ground_truth(mu_a, mu_s, g, err):
+    estimate, budget, positions, _ = run_ground_truth(mu_a, mu_s, g)
+    assert np.abs(estimate / budget - 1.0) < err
+    if err < 0.1:  # heavy-tailed configs may fluctuate above in small runs
+        assert estimate < budget  # truncated paths -> biased low
+    # hits uniform on the unit sphere (object space)
+    assert np.abs(positions.mean(0)).max() < 0.05
+    assert np.abs(positions.var(0) - 1 / 3).max() < 0.05
+
+
+def test_scene_forward_ground_truth_quick():
+    estimate, budget, positions, stats = run_ground_truth(
+        0.0, 0.005, 0.0, batch_size=8 * 1024, n_batches=2
+    )
+    assert np.abs(estimate / budget - 1.0) < 0.08
+    assert estimate < budget
+    # "DB" surfaces respond then report ABSORBED (black body overrides the
+    # DETECTED code, reference: scene.traverse.glsl:104-115)
+    assert stats["absorbed"] > 0 and stats["detected"] == 0
+    assert stats["error"] == 0 and stats["mismatch"] == 0
+
+
+def test_scene_crosscheck_guide_mis():
+    """Target-guide MIS must agree with the plain estimator.
+
+    Spherical light OUTSIDE a detector sphere (reference crosscheck setup,
+    test_trace_energy.py:187-352): compare light curves with and without a
+    SphereTargetGuide."""
+    position = (0.0, 0.0, 0.0)
+    radius = 5.0 * u.m
+    light_pos = (-6.0, 0.0, 0.0)
+    budget = 1e9
+    t0 = 30.0
+    model = Model(0.0, 0.01, 0.3)
+    medium = model.createMedium()
+    material = Material("det", None, medium, flags="DB")
+    mat_store = MaterialStore.pack([material])
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+    trafo = Transform.TRS(scale=radius, translate=position)
+
+    def build(guide, batch, key):
+        target = meshes.createInstance("sphere", "det", trafo, detectorId=0)
+        scene = Scene([target], mat_store, medium="homogenous")
+        rng = PhiloxRNG(key=key)
+        response = HistogramHitResponse(nBins=30, t0=0.0, binSize=20.0)
+        return SceneForwardTracer(
+            batch,
+            SphericalLightSource(
+                position=light_pos, timeRange=(t0, t0), budget=budget
+            ),
+            UniformWavelengthSource(lambdaRange=(400.0, 400.0)),
+            response,
+            rng,
+            scene,
+            maxPathLength=10,
+            scatterCoefficient=0.01,
+            maxTime=600.0,
+            targetGuide=guide,
+        )
+
+    def curve(guide, batches=6, key=0xC0FFEE):
+        tracer = build(guide, 16 * 1024, key)
+        acc = None
+        for _ in range(batches):
+            h, _ = tracer.run()
+            acc = h if acc is None else acc + h
+        return np.asarray(acc) / batches
+
+    plain = curve(None, batches=12)
+    guided = curve(
+        SphereTargetGuide(position=position, radius=radius), batches=4
+    )
+    # direct peak bin must match well; scattered tail statistically
+    tot_p, tot_g = plain.sum(), guided.sum()
+    assert np.abs(tot_g / tot_p - 1.0) < 0.15
+    peak = plain.argmax()
+    assert guided.argmax() == peak
+    assert np.abs(guided[peak] / plain[peak] - 1.0) < 0.05

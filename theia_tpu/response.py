@@ -238,14 +238,19 @@ class HitRecorder(HitResponse):
         )
 
     def record(self, params, state, item: HitItem, mask, rng: RNGState):
-        n = item.time.shape[0]
+        # compact accepted lanes to the cursor (the atomic-counter queue
+        # analogue, reference: hephaistos.queue); overflow drops hits
         c = state["cursor"]
+        slot = c + jnp.cumsum(mask.astype(jnp.int32)) - 1
+        slot = jnp.where(mask, slot, self._capacity)  # dropped by mode="drop"
 
         def upd(buf, val):
-            return jax.lax.dynamic_update_slice_in_dim(buf, val, c, axis=0)
+            return buf.at[slot].set(val, mode="drop")
 
         state = dict(
-            cursor=c + n,
+            cursor=jnp.minimum(
+                c + jnp.sum(mask.astype(jnp.int32)), self._capacity
+            ),
             position=upd(state["position"], item.position),
             direction=upd(state["direction"], item.direction),
             normal=upd(state["normal"], item.normal),
@@ -294,12 +299,16 @@ class StoreTimeHitResponse(HitResponse):
         uu, rng = rng.uniform()
         accept = mask & (uu < value)
         c = state["cursor"]
+        slot = c + jnp.cumsum(accept.astype(jnp.int32)) - 1
+        slot = jnp.where(accept, slot, self._capacity)
 
         def upd(buf, val):
-            return jax.lax.dynamic_update_slice_in_dim(buf, val, c, axis=0)
+            return buf.at[slot].set(val, mode="drop")
 
         state = dict(
-            cursor=c + item.time.shape[0],
+            cursor=jnp.minimum(
+                c + jnp.sum(accept.astype(jnp.int32)), self._capacity
+            ),
             time=upd(state["time"], item.time),
             objectId=upd(state["objectId"], item.object_id),
             valid=upd(state["valid"], accept),

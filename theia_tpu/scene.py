@@ -1,0 +1,345 @@
+"""Scenes: transforms, mesh instances and the packed device representation.
+
+Semantics follow the reference (reference: src/theia/scene.py, docs/scene.md):
+meshes are *interfaces between media* (not solids), normals point outward,
+materials assign media and flags to both sides, detectors are selected by a
+``detectorId`` carried per instance, and hits are reported in object space
+so responses are independent of the detector's pose.
+
+TPU-native representation: instead of Vulkan BLAS/TLAS handles, a Scene
+packs into a :class:`ScenePack` pytree of flat arrays — world-space
+triangles (for intersection), object-space vertex data (for hit
+reconstruction), per-triangle instance ids and per-instance transform/
+material/flag tables. Traversal lives in :mod:`theia_tpu.accel`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import units as u
+from .material import MaterialStore, MediumStore
+from .mesh import Mesh, loadMesh
+
+__all__ = [
+    "Transform",
+    "RectBBox",
+    "SphereBBox",
+    "MeshInstance",
+    "MeshStore",
+    "Scene",
+    "ScenePack",
+]
+
+
+class Transform:
+    """3x4 affine transformation (reference: src/theia/scene.py:42-296)."""
+
+    def __init__(self, matrix=None) -> None:
+        self._arr = np.identity(4)
+        if matrix is not None:
+            matrix = np.asarray_chkfinite(matrix)
+            if matrix.shape != (3, 4):
+                raise ValueError("matrix must be of shape (3,4)!")
+            self._arr[:3, :] = matrix
+
+    def apply(self, points):
+        return np.asarray(points) @ self._arr[:3, :3].T + self._arr[:3, 3]
+
+    def applyVec(self, vectors):
+        return np.asarray(vectors) @ self._arr[:3, :3].T
+
+    def copy(self) -> "Transform":
+        return Transform(self._arr[:3, :].copy())
+
+    def inverse(self) -> "Transform":
+        inv = Transform()
+        inv._arr = np.linalg.inv(self._arr)
+        return inv
+
+    def numpy(self) -> np.ndarray:
+        return np.ascontiguousarray(self._arr[:3, :], dtype=np.float32)
+
+    @property
+    def innerMatrix(self) -> np.ndarray:
+        return self.numpy()[:3, :3]
+
+    @property
+    def offset(self) -> np.ndarray:
+        return self.numpy()[:3, 3]
+
+    def __matmul__(self, other: "Transform") -> "Transform":
+        res = Transform()
+        res._arr = self._arr @ other._arr
+        return res
+
+    @staticmethod
+    def Rotation(dx, dy, dz, angle) -> "Transform":
+        """Rotation around axis (dx,dy,dz) by ``angle`` degrees."""
+        length = np.sqrt(dx * dx + dy * dy + dz * dz)
+        dx, dy, dz = dx / length, dy / length, dz / length
+        K = np.array([[0.0, -dz, dy], [dz, 0.0, -dx], [-dy, dx, 0.0]])
+        res = Transform()
+        a = np.deg2rad(angle)
+        res._arr[:3, :3] += np.sin(a) * K + (1.0 - np.cos(a)) * (K @ K)
+        return res
+
+    @staticmethod
+    def Scale(x, y=None, z=None) -> "Transform":
+        if y is None:
+            y = z = x
+        res = Transform()
+        res._arr[0, 0], res._arr[1, 1], res._arr[2, 2] = x, y, z
+        return res
+
+    @staticmethod
+    def Translation(x, y, z) -> "Transform":
+        res = Transform()
+        res._arr[:3, 3] = (x, y, z)
+        return res
+
+    @staticmethod
+    def TRS(*, scale=1.0, rotate=None, translate=(0.0, 0.0, 0.0)) -> "Transform":
+        """translate @ rotate @ scale (scale first)."""
+        t = Transform.Scale(scale, scale, scale) if np.isscalar(scale) else Transform.Scale(*scale)
+        if rotate is not None:
+            t = rotate @ t
+        return Transform.Translation(*translate) @ t
+
+    @staticmethod
+    def View(*, direction=(0.0, 0.0, 1.0), up=(0.0, 1.0, 0.0), position=(0.0, 0.0, 0.0)) -> "Transform":
+        """Orient +z onto ``direction`` with the given up vector and move to
+        position (reference: src/theia/scene.py View)."""
+        d = np.asarray(direction, np.float64)
+        d = d / np.linalg.norm(d)
+        upv = np.asarray(up, np.float64)
+        x = np.cross(upv, d)
+        if np.linalg.norm(x) < 1e-12:
+            # pick any perpendicular
+            upv = (
+                np.array([0.0, 1.0, 0.0])
+                if abs(d[1]) < 0.9
+                else np.array([1.0, 0.0, 0.0])
+            )
+            x = np.cross(upv, d)
+        x = x / np.linalg.norm(x)
+        y = np.cross(d, x)
+        res = Transform()
+        res._arr[:3, 0] = x
+        res._arr[:3, 1] = y
+        res._arr[:3, 2] = d
+        res._arr[:3, 3] = position
+        return res
+
+    @staticmethod
+    def LookAt(*, position=(0.0, 0.0, 0.0), target=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0)) -> "Transform":
+        direction = np.asarray(target, np.float64) - np.asarray(position, np.float64)
+        return Transform.View(direction=direction, up=up, position=position)
+
+
+class RectBBox:
+    """Axis-aligned bounding box (reference: src/theia/scene.py:299-380)."""
+
+    def __init__(self, lowerCorner, upperCorner) -> None:
+        self.lowerCorner = tuple(float(c) for c in lowerCorner)
+        self.upperCorner = tuple(float(c) for c in upperCorner)
+
+    @property
+    def diagonal(self) -> float:
+        d = np.subtract(self.upperCorner, self.lowerCorner)
+        return float(np.sqrt(np.square(d).sum()))
+
+    def transform(self, trafo: Transform) -> "RectBBox":
+        corners = np.array(
+            [
+                [
+                    (self.lowerCorner, self.upperCorner)[b][k]
+                    for k, b in enumerate(bits)
+                ]
+                for bits in np.ndindex(2, 2, 2)
+            ]
+        )
+        pts = trafo.apply(corners)
+        return RectBBox(tuple(pts.min(0)), tuple(pts.max(0)))
+
+
+class SphereBBox:
+    """Spherical bounds (reference: src/theia/scene.py:383-431)."""
+
+    def __init__(self, center, radius: float) -> None:
+        self.center = tuple(float(c) for c in center)
+        self.radius = float(radius)
+
+
+class MeshInstance:
+    """A placed mesh with material name, transform and detector id
+    (reference: src/theia/scene.py:454-528)."""
+
+    def __init__(
+        self,
+        key: str,
+        mesh: Mesh,
+        material: str,
+        transform: Transform,
+        detectorId: int = 0,
+    ) -> None:
+        self.key = key
+        self.mesh = mesh
+        self.material = material
+        self.transform = transform
+        self.detectorId = detectorId
+
+    @property
+    def bbox(self) -> RectBBox:
+        pts = self.transform.apply(self.mesh.vertices[:, :3])
+        return RectBBox(tuple(pts.min(0)), tuple(pts.max(0)))
+
+
+class MeshStore:
+    """Named mesh registry (reference: src/theia/scene.py:529-605)."""
+
+    def __init__(self, meshes: dict) -> None:
+        self._meshes = {
+            k: (loadMesh(v) if isinstance(v, (str,)) or hasattr(v, "__fspath__") else v)
+            for k, v in meshes.items()
+        }
+
+    def createInstance(
+        self,
+        key: str,
+        material: str,
+        transform: Transform | None = None,
+        *,
+        detectorId: int = 0,
+        scale: float | None = None,
+    ) -> MeshInstance:
+        mesh = self._meshes[key]
+        if scale is None:
+            scale = 1.0 * u.m
+        trafo = Transform.Scale(scale, scale, scale)
+        if transform is not None:
+            trafo = transform @ trafo
+        return MeshInstance(key, mesh, material, trafo, detectorId)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ScenePack:
+    """Flat device arrays describing the scene (the BLAS/TLAS analogue)."""
+
+    # world-space triangle soup (T, 3) each
+    w_v0: jax.Array
+    w_e1: jax.Array  # v1 - v0
+    w_e2: jax.Array  # v2 - v0
+    # object-space data for hit reconstruction
+    o_v0: jax.Array
+    o_e1: jax.Array
+    o_e2: jax.Array
+    o_n0: jax.Array  # vertex normals
+    o_n1: jax.Array
+    o_n2: jax.Array
+    tri_instance: jax.Array  # i32 (T,) instance id per triangle
+    # per-instance tables (K, ...)
+    world_to_obj: jax.Array  # (K, 3, 4)
+    obj_to_world: jax.Array  # (K, 3, 4)
+    inside_medium: jax.Array  # i32 medium handle
+    outside_medium: jax.Array
+    flags_inward: jax.Array  # u32
+    flags_outward: jax.Array
+    detector_id: jax.Array  # i32
+    # media tables
+    media: MediumStore
+    # scene-global
+    medium: jax.Array  # i32 handle of the surrounding medium
+    lower_bbox: jax.Array  # f32 (3,)
+    upper_bbox: jax.Array
+
+
+class Scene:
+    """Scene = instances + material store + surrounding medium
+    (reference: src/theia/scene.py:608-710).
+
+    ``material_store``: a MaterialStore (or it is built from the media of the
+    given materials); ``medium``: name of the surrounding medium or None.
+    """
+
+    def __init__(
+        self,
+        instances: list[MeshInstance],
+        materials: "dict | MaterialStore",
+        *,
+        medium: str | None = None,
+        bbox: RectBBox | None = None,
+    ) -> None:
+        if not isinstance(materials, MaterialStore):
+            materials = MaterialStore.pack(list(materials.values()))
+        self.instances = instances
+        self.materials = materials
+        self.medium = medium
+        self.bbox = bbox if bbox is not None else RectBBox(
+            (-1.0 * u.km,) * 3, (1.0 * u.km,) * 3
+        )
+        self._pack = self._build()
+
+    @property
+    def pack(self) -> ScenePack:
+        return self._pack
+
+    def _build(self) -> ScenePack:
+        store = self.materials
+        w_v0, w_e1, w_e2 = [], [], []
+        o_v0, o_e1, o_e2 = [], [], []
+        o_n0, o_n1, o_n2 = [], [], []
+        tri_inst = []
+        w2o, o2w = [], []
+        ins_med, out_med, fl_in, fl_out, det = [], [], [], [], []
+        for k, inst in enumerate(self.instances):
+            mesh = inst.mesh
+            pos = mesh.vertices[:, :3]
+            nrm = mesh.vertices[:, 3:]
+            idx = mesh.indices
+            wpos = inst.transform.apply(pos).astype(np.float32)
+            for dst, src in (
+                (w_v0, wpos[idx[:, 0]]),
+                (w_e1, wpos[idx[:, 1]] - wpos[idx[:, 0]]),
+                (w_e2, wpos[idx[:, 2]] - wpos[idx[:, 0]]),
+                (o_v0, pos[idx[:, 0]]),
+                (o_e1, pos[idx[:, 1]] - pos[idx[:, 0]]),
+                (o_e2, pos[idx[:, 2]] - pos[idx[:, 0]]),
+                (o_n0, nrm[idx[:, 0]]),
+                (o_n1, nrm[idx[:, 1]]),
+                (o_n2, nrm[idx[:, 2]]),
+            ):
+                dst.append(np.asarray(src, np.float32))
+            tri_inst.append(np.full(len(idx), k, np.int32))
+            o2w.append(inst.transform.numpy())
+            w2o.append(inst.transform.inverse().numpy())
+            mat = store.material_handle(inst.material)
+            ins_med.append(int(store.inside[mat]))
+            out_med.append(int(store.outside[mat]))
+            fl_in.append(int(store.flags_inward[mat]))
+            fl_out.append(int(store.flags_outward[mat]))
+            det.append(inst.detectorId)
+
+        cat = lambda xs: jnp.asarray(np.concatenate(xs, axis=0))
+        return ScenePack(
+            w_v0=cat(w_v0), w_e1=cat(w_e1), w_e2=cat(w_e2),
+            o_v0=cat(o_v0), o_e1=cat(o_e1), o_e2=cat(o_e2),
+            o_n0=cat(o_n0), o_n1=cat(o_n1), o_n2=cat(o_n2),
+            tri_instance=cat(tri_inst),
+            world_to_obj=jnp.asarray(np.stack(w2o)),
+            obj_to_world=jnp.asarray(np.stack(o2w)),
+            inside_medium=jnp.asarray(ins_med, jnp.int32),
+            outside_medium=jnp.asarray(out_med, jnp.int32),
+            flags_inward=jnp.asarray(fl_in, jnp.uint32),
+            flags_outward=jnp.asarray(fl_out, jnp.uint32),
+            detector_id=jnp.asarray(det, jnp.int32),
+            media=store.media,
+            medium=jnp.asarray(store.media.handle(self.medium), jnp.int32),
+            lower_bbox=jnp.asarray(self.bbox.lowerCorner, jnp.float32),
+            upper_bbox=jnp.asarray(self.bbox.upperCorner, jnp.float32),
+        )

@@ -1,0 +1,674 @@
+"""Scene tracers: full geometry with Fresnel media boundaries.
+
+``SceneForwardTracer`` reproduces the reference's scene path tracer —
+per segment: exponential distance sampling, (optional) target-guide
+free-shadow-ray extension, scene intersection with media-mismatch checks,
+surface interaction (Fresnel reflect/transmit/volume-border/black-body by
+material flags) or volume scatter with guide MIS — as one jitted wavefront
+program (reference: src/theia/trace.py:1048-1336,
+shader/tracer.scene.forward.glsl, shader/scene.traverse.glsl).
+
+AD discipline matches the volume tracer: geometry frozen, physical factors
+(transmittance, mu_s, phase values, Fresnel coefficients) traced, sampling
+pdfs and MIS weights frozen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .. import units as u
+from ..accel import SurfaceHit, intersect_scene, offset_ray
+from ..callback import EmptyEventCallback, TraceEventCallback
+from ..component import Component, TraceConfig
+from ..light import LightSource, WavelengthSource
+from ..material import MaterialFlags, packed_medium_constants, lookup_packed
+from ..lookup import lookup
+from ..ops.math3d import dot, normalize
+from ..ops.sampling import scatter_dir
+from ..random import PhiloxRNG, RNGState
+from ..scene import Scene, ScenePack
+from ..target import TargetGuide
+from .core import (
+    EventResultCode,
+    HitItem,
+    PropagateParams,
+    RayState,
+    create_hit,
+    propagate_ray,
+    sample_scatter_length,
+    update_ray,
+    update_ray_is,
+)
+
+if TYPE_CHECKING:  # avoid circular import
+    from ..response import HitResponse
+
+__all__ = ["SceneForwardTracer"]
+
+_BLACK = int(MaterialFlags.BLACK_BODY)
+_DETECTOR = int(MaterialFlags.DETECTOR)
+_NO_R_FWD = int(MaterialFlags.NO_REFLECT_FWD)
+_NO_T_FWD = int(MaterialFlags.NO_TRANSMIT_FWD)
+_VOLUME = int(MaterialFlags.VOLUME_BORDER)
+
+
+def _merge_dim(after: RNGState, before: RNGState, take_after) -> RNGState:
+    return replace(before, dim=jnp.where(take_after, after.dim, before.dim))
+
+
+def _reflect(i, n):
+    return i - 2.0 * dot(n, i)[..., None] * n
+
+
+def _refract(i, n, eta):
+    """GLSL refract(); returns 0 on total internal reflection."""
+    cos_i = dot(n, i)
+    k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
+    tir = k < 0.0
+    k = jnp.maximum(k, 0.0)
+    out = eta[..., None] * i - (eta * cos_i + jnp.sqrt(k))[..., None] * n
+    return jnp.where(tir[..., None], 0.0, out)
+
+
+class SceneForwardTracer(Component):
+    """Forward path tracing against a scene (reference:
+    src/theia/trace.py:1048-1336)."""
+
+    name = "Scene Forward Tracer"
+    _param_names = ("targetId", "scatterCoefficient", "maxTime")
+
+    def __init__(
+        self,
+        batchSize: int,
+        source: LightSource,
+        wavelengthSource: WavelengthSource,
+        response: "HitResponse",
+        rng: PhiloxRNG,
+        scene: Scene,
+        *,
+        capacity: int | None = None,
+        callback: TraceEventCallback | None = None,
+        maxPathLength: int = 6,
+        targetId: int = -1,
+        targetGuide: TargetGuide | None = None,
+        scatterCoefficient: float = float("nan"),
+        sourceMedium: str | None = None,
+        maxTime: float = 1000.0 * u.ns,
+        polarized: bool = False,
+        disableDirectLighting: bool = False,
+        disableTransmission: bool = False,
+        disableVolumeBorder: bool = False,
+        useRefractedHitDir: bool = False,
+    ) -> None:
+        if not source.supportForward:
+            raise ValueError("light source does not support forward mode")
+        self.batchSize = batchSize
+        self.capacity = batchSize if capacity is None else capacity
+        self.source = source
+        self.wavelengthSource = wavelengthSource
+        self.response = response
+        self.rng = rng
+        self.scene = scene
+        self.callback = EmptyEventCallback() if callback is None else callback
+        self.maxPathLength = maxPathLength
+        self.targetId = targetId
+        self.targetGuide = targetGuide
+        self.scatterCoefficient = scatterCoefficient
+        self.sourceMedium = sourceMedium if sourceMedium is not None else scene.medium
+        self.maxTime = maxTime
+        self.polarized = polarized
+        self.disableDirectLighting = disableDirectLighting
+        self.disableTransmission = disableTransmission
+        self.disableVolumeBorder = disableVolumeBorder
+        self.useRefractedHitDir = useRefractedHitDir
+
+        # reference accounting (src/theia/trace.py:1185-1196)
+        maxHits = maxPathLength - 1
+        rngStride = 4
+        if targetGuide is not None:
+            maxHits *= 2
+            rngStride += targetGuide.nRNGSamples
+        if not disableDirectLighting:
+            maxHits += 1
+        self.maxHitsPerThread = maxHits
+        self.nRNGSamples = (
+            source.nRNGForward
+            + wavelengthSource.nRNGSamples
+            + rngStride * maxPathLength
+            + maxHits * response.nRNGSamples
+        )
+        if rng.autoAdvance == 0:
+            rng.autoAdvance = self.nRNGSamples
+
+        self.normalization = 1.0 / batchSize
+        response.prepare(
+            TraceConfig(
+                batch_size=batchSize,
+                capacity=self.capacity,
+                max_hits_per_thread=maxHits,
+                normalization=self.normalization,
+                polarized=polarized,
+            )
+        )
+        self._jit_trace = jax.jit(self._trace_batch)
+
+    # -- params ----------------------------------------------------------
+
+    def collectStages(self):
+        stages = [
+            ("photons", self.wavelengthSource),
+            ("lightSource", self.source),
+        ]
+        if self.targetGuide is not None:
+            stages.append(("guide", self.targetGuide))
+        stages += [
+            ("tracer", self),
+            ("callback", self.callback),
+            ("response", self.response),
+        ]
+        return stages
+
+    def params(self):
+        p = {
+            "tracer": {
+                "targetId": jnp.asarray(self.targetId, jnp.int32),
+                "scatterCoefficient": jnp.asarray(
+                    self.scatterCoefficient, jnp.float32
+                ),
+                "maxTime": jnp.asarray(self.maxTime, jnp.float32),
+            },
+            "scene": self.scene.pack,
+            "photons": self.wavelengthSource.params(),
+            "lightSource": self.source.params(),
+            "response": self.response.params(),
+            "callback": self.callback.params(),
+        }
+        if self.targetGuide is not None:
+            p["guide"] = self.targetGuide.params()
+        return p
+
+    def _propagation(self, p) -> PropagateParams:
+        pack: ScenePack = p["scene"]
+        return PropagateParams(
+            scatter_coefficient=p["tracer"]["scatterCoefficient"],
+            lower_bbox=pack.lower_bbox,
+            upper_bbox=pack.upper_bbox,
+            max_time=p["tracer"]["maxTime"],
+            max_dist=jnp.linalg.norm(pack.upper_bbox - pack.lower_bbox),
+        )
+
+    # -- physics helpers -------------------------------------------------
+
+    def _fresnel(self, pack: ScenePack, ray: RayState, hit: SurfaceHit):
+        """(n_in, n_tr, r_s, r_p) per lane
+        (reference: shader/scatter.surface.glsl:21-51)."""
+        cos_i = jnp.clip(dot(ray.direction, hit.ray_nrm), -1.0, 1.0)
+        sin_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 0.0))
+        n_i = ray.constants.n
+        lmin = jnp.take(pack.media.lambda_min, hit.medium_tr)
+        lmax = jnp.take(pack.media.lambda_max, hit.medium_tr)
+        t = jnp.clip((ray.wavelength - lmin) / (lmax - lmin), 0.0, 1.0)
+        n_t = lookup_packed(
+            pack.media.tables["refractive_index"],
+            pack.media.sizes["refractive_index"],
+            hit.medium_tr,
+            t,
+            1.0,
+        )
+        sin_t = sin_i * n_i / n_t
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 0.0))
+        cos_i = jnp.abs(cos_i)
+        r_s = (n_i * cos_i - n_t * cos_t) / (n_i * cos_i + n_t * cos_t)
+        r_p = (n_t * cos_i - n_i * cos_t) / (n_t * cos_i + n_i * cos_t)
+        return n_i, n_t, r_s, r_p
+
+    def _scatter_prob_packed(self, pack: ScenePack, medium, in_dir, out_dir):
+        """Phase function value via the packed log-phase tables."""
+        cos_theta = dot(in_dir, out_dir)
+        log_p = lookup_packed(
+            pack.media.tables["log_phase_function"],
+            pack.media.sizes["log_phase_function"],
+            medium,
+            0.5 * (cos_theta + 1.0),
+            jnp.log(jnp.float32(1.0 / (4.0 * np.pi))),
+        )
+        return jnp.exp(log_p), log_p
+
+    def _sample_phase_packed(self, pack: ScenePack, medium, in_dir, u1, u2):
+        """Importance sample the phase function from packed tables.
+        Returns (direction, pdf, log_p) — uniform-sphere fallback where the
+        medium has no sampling table."""
+        phi = jnp.float32(2.0 * np.pi) * u1
+        tbl = pack.media.tables["phase_sampling"]
+        sizes = pack.media.sizes["phase_sampling"]
+        cos_tab = lookup_packed(tbl, sizes, medium, u2, 0.0)
+        has_tab = jnp.take(sizes, medium) > 0
+        cos_theta = jnp.where(
+            has_tab, jnp.clip(cos_tab, -1.0, 1.0), 2.0 * u2 - 1.0
+        )
+        cos_theta = lax.stop_gradient(cos_theta)
+        direction = scatter_dir(in_dir, cos_theta, phi)
+        p, log_p = self._scatter_prob_packed(
+            pack, medium, in_dir, direction
+        )
+        inv4pi = jnp.float32(1.0 / (4.0 * np.pi))
+        pdf = jnp.where(has_tab, p, inv4pi)
+        return direction, pdf, log_p
+
+    def _create_response_item(
+        self, p, ray: RayState, hit: SurfaceHit, r_s, r_p, n_i, n_t, absorb
+    ) -> tuple[HitItem, jax.Array]:
+        """Build the detector HitItem, emulating transmission where the
+        surface is not absorbing (reference: scene.traverse.glsl:31-69).
+        Returns (item, contrib>0 mask)."""
+        transmittance = 1.0 - 0.5 * (r_s * r_s + r_p * r_p)
+        lin = jnp.where(absorb, ray.lin_contrib, ray.lin_contrib * transmittance)
+        ray = replace(ray, lin_contrib=lin)
+        if self.useRefractedHitDir:
+            eta = n_i / n_t
+            refr = normalize(_refract(ray.direction, hit.ray_nrm, eta))
+            direction = jnp.where(absorb[..., None], ray.direction, refr)
+            ray = replace(ray, direction=direction)
+        item = create_hit(
+            ray, hit.obj_pos, hit.obj_nrm, hit.custom_id, hit.world_to_obj
+        )
+        return item, item.contrib > 0.0
+
+
+    def _propagate_to_hit(self, ray: RayState, hit: SurfaceHit, prop):
+        dist = jnp.sqrt(
+            jnp.maximum(dot(hit.world_pos - ray.position, hit.world_pos - ray.position), 1e-30)
+        )
+        moved = replace(ray, position=hit.world_pos)
+        return update_ray(moved, dist, prop)
+
+    def _shadow_response(
+        self, p, resp_state, ray: RayState, hit: SurfaceHit, mask, rng, prop
+    ):
+        """processShadowRay: response if the shadow ray reached the target
+        (reference: scene.traverse.glsl:160-183)."""
+        pack: ScenePack = p["scene"]
+        target_id = p["tracer"]["targetId"]
+        is_target = (hit.flags & jnp.uint32(_DETECTOR)) != 0
+        correct = (target_id < 0) | (hit.custom_id == target_id)
+        ok = mask & hit.valid & is_target & correct & (hit.error == 0)
+        moved, code = self._propagate_to_hit(ray, hit, prop)
+        ok &= code >= 0
+        n_i, n_t, r_s, r_p = self._fresnel(pack, moved, hit)
+        absorb = (hit.flags & jnp.uint32(_BLACK)) != 0
+        item, pos_mask = self._create_response_item(
+            p, moved, hit, r_s, r_p, n_i, n_t, absorb
+        )
+        ok &= pos_mask
+        rng_after = rng
+        resp_state, rng_after = self.response.record(
+            p["response"], resp_state, item, ok, rng_after
+        )
+        return resp_state, _merge_dim(rng_after, rng, ok)
+
+    # -- the traced program ---------------------------------------------
+
+    def _trace_batch(self, p, counter, streams):
+        pack: ScenePack = p["scene"]
+        prop = self._propagation(p)
+        mis = self.targetGuide is not None
+        rng = RNGState(
+            key=self.rng.key_words,
+            counter=counter,
+            stream=streams,
+            dim=jnp.zeros_like(streams),
+        )
+
+        # sample ray in the source medium
+        (lam, lam_contrib), rng = self.wavelengthSource.sample(p["photons"], rng)
+        src_medium = jnp.full(
+            streams.shape,
+            pack.media.handle(self.sourceMedium),
+            jnp.int32,
+        )
+        constants = packed_medium_constants(pack.media, src_medium, lam)
+        src, rng = self.source.sample_forward(p["lightSource"], lam, constants, rng)
+        ray = RayState(
+            position=src.position,
+            direction=src.direction,
+            wavelength=lam,
+            time=src.start_time,
+            lin_contrib=src.contrib * lam_contrib,
+            log_contrib=jnp.zeros_like(lam),
+            constants=constants,
+        )
+        medium = src_medium
+
+        resp_state = self.response.init()
+        cb_state = self.callback.init(streams.shape[0], self.maxPathLength + 2)
+        cb_state = self.callback.on_event(
+            p["callback"],
+            cb_state,
+            ray,
+            jnp.full_like(streams, int(EventResultCode.RAY_CREATED), jnp.int32),
+            jnp.ones_like(streams, dtype=bool),
+            0,
+        )
+        alive = ~ray.is_bad()
+        allow_response = jnp.full(
+            streams.shape, not self.disableDirectLighting, dtype=bool
+        )
+
+        def body(i, carry):
+            ray, medium, alive, allow_response, rng, resp_state, cb_state = carry
+            pre_alive = alive
+            last = i == self.maxPathLength - 1  # traced bool
+
+            # health check (reference: scene.traverse.glsl:288-290)
+            bad = ray.is_bad()
+            alive = alive & ~bad
+            pre_alive = alive
+
+            # ---- trace() (scene.traverse.glsl:286-352) ----
+            uu, rng = rng.uniform()
+            dist = sample_scatter_length(ray, prop, uu)
+            sampled_dist = dist
+            if mis:
+                guide_eval = self.targetGuide.eval(
+                    p["guide"], ray.position, ray.direction
+                )
+                mis_ext = allow_response & (guide_eval.prob > 0.0)
+                mis_ext &= guide_eval.dist > dist
+                dist = jnp.where(mis_ext, jnp.maximum(guide_eval.dist, dist), dist)
+
+            hit = intersect_scene(pack, medium, ray.position, ray.direction, dist)
+            travel = jnp.where(hit.valid, hit.t, dist)
+
+            if mis:
+                # hit beyond the sampled distance == free shadow ray
+                ext_mask = (
+                    pre_alive
+                    & mis_ext
+                    & hit.valid
+                    & (travel > sampled_dist)
+                    & (hit.error == 0)
+                )
+                resp_state, rng = self._shadow_response(
+                    p, resp_state, ray, hit, ext_mask, rng, prop
+                )
+                hit = replace(hit, valid=hit.valid & ~ext_mask)
+                travel = jnp.where(ext_mask, sampled_dist, travel)
+
+            ray, code = propagate_ray(ray, travel, prop)
+            ray = update_ray_is(ray, travel, prop, hit.valid)
+            # media mismatch error dominates
+            code = jnp.where(hit.valid & (hit.error != 0), hit.error, code)
+            in_bounds = code >= 0
+
+            # ---- processInteraction: surface hit ----
+            surf = pre_alive & in_bounds & hit.valid
+            # set polarization-free position to exact hit point
+            ray = replace(
+                ray,
+                position=jnp.where(
+                    surf[..., None], hit.world_pos, ray.position
+                ),
+            )
+            n_i, n_t, r_s, r_p = self._fresnel(pack, ray, hit)
+            flags = hit.flags
+            is_abs = (flags & jnp.uint32(_BLACK)) != 0
+            is_target = (flags & jnp.uint32(_DETECTOR)) != 0
+            vol_border = ((flags & jnp.uint32(_VOLUME)) != 0) & (
+                not self.disableVolumeBorder
+            )
+            can_reflect = (flags & jnp.uint32(_NO_R_FWD)) == 0
+            can_transmit = ((flags & jnp.uint32(_NO_T_FWD)) == 0) & (
+                not self.disableTransmission
+            )
+
+            target_id = p["tracer"]["targetId"]
+            respond = (
+                surf
+                & allow_response
+                & is_target
+                & ((target_id < 0) | (hit.custom_id == target_id))
+            )
+            item, pos_ok = self._create_response_item(
+                p, ray, hit, r_s, r_p, n_i, n_t, is_abs
+            )
+            rng_b = rng
+            resp_state, rng_a = self.response.record(
+                p["response"], resp_state, item, respond & pos_ok, rng
+            )
+            rng = _merge_dim(rng_a, rng_b, respond & pos_ok)
+
+            # surface interaction outcome
+            r_coef = 0.5 * (r_s * r_s + r_p * r_p)
+            u_surf, rng_a = rng.uniform()
+            both = surf & ~is_abs & ~vol_border & can_reflect & can_transmit
+            rng = _merge_dim(rng_a, rng, both)
+            do_reflect = jnp.where(
+                both,
+                u_surf < lax.stop_gradient(r_coef),
+                can_reflect,
+            )
+            absorbed_surf = surf & (
+                is_abs | (~can_reflect & ~can_transmit & ~vol_border)
+            )
+
+            # compute all three outcomes and select per lane
+            # 1) reflect
+            refl_dir = normalize(_reflect(ray.direction, hit.ray_nrm))
+            refl_pos = offset_ray(hit.world_pos, hit.ray_nrm)
+            # IS: no factor when both paths possible; explicit factor else
+            refl_factor = jnp.where(both, 1.0, r_coef)
+            # grad: IS decision frozen, but r is physical (Fresnel from n) ->
+            # reintroduce via ratio for the IS case
+            sg = lax.stop_gradient
+            refl_log = jnp.where(
+                both, jnp.log(jnp.maximum(r_coef, 1e-30)), 0.0
+            )
+            refl_corr = refl_log - sg(refl_log)
+            # 2) transmit
+            eta = n_i / n_t
+            trans_dir = normalize(_refract(ray.direction, hit.ray_nrm, eta))
+            trans_pos = offset_ray(hit.world_pos, -hit.ray_nrm)
+            trans_factor = jnp.where(both, 1.0, 1.0 - r_coef)
+            trans_log = jnp.where(
+                both, jnp.log(jnp.maximum(1.0 - r_coef, 1e-30)), 0.0
+            )
+            trans_corr = trans_log - sg(trans_log)
+            # 3) volume border: straight through, medium change
+            border_pos = offset_ray(hit.world_pos, -hit.ray_nrm)
+
+            new_medium = jnp.where(
+                surf & (vol_border | (~do_reflect & can_transmit & ~is_abs)),
+                hit.medium_tr,
+                medium,
+            )
+            crossed = new_medium != medium
+
+            sel_reflect = surf & ~is_abs & ~vol_border & do_reflect & can_reflect
+            sel_transmit = (
+                surf & ~is_abs & ~vol_border & ~do_reflect & can_transmit
+            )
+
+            new_dir = jnp.where(
+                sel_reflect[..., None],
+                refl_dir,
+                jnp.where(sel_transmit[..., None], trans_dir, ray.direction),
+            )
+            new_pos = jnp.where(
+                sel_reflect[..., None],
+                refl_pos,
+                jnp.where(
+                    (sel_transmit | (surf & vol_border))[..., None],
+                    jnp.where(sel_transmit[..., None], trans_pos, border_pos),
+                    ray.position,
+                ),
+            )
+            new_lin = jnp.where(
+                sel_reflect,
+                ray.lin_contrib * refl_factor,
+                jnp.where(
+                    sel_transmit, ray.lin_contrib * trans_factor, ray.lin_contrib
+                ),
+            )
+            new_log = jnp.where(
+                sel_reflect,
+                ray.log_contrib + refl_corr,
+                jnp.where(
+                    sel_transmit, ray.log_contrib + trans_corr, ray.log_contrib
+                ),
+            )
+            medium = new_medium
+            new_constants = packed_medium_constants(
+                pack.media, medium, ray.wavelength
+            )
+            ray = RayState(
+                position=new_pos,
+                direction=new_dir,
+                wavelength=ray.wavelength,
+                time=ray.time,
+                lin_contrib=new_lin,
+                log_contrib=new_log,
+                constants=jax.tree.map(
+                    lambda new, old: jnp.where(crossed, new, old),
+                    new_constants,
+                    ray.constants,
+                ),
+            )
+
+            # ---- processInteraction: volume scatter (miss) ----
+            miss = pre_alive & in_bounds & ~hit.valid & ~last
+
+            if mis:
+                rng_b = rng
+                (u1, u2), rng = rng.uniform2d()
+                dir_phase, p_pp, log_p_pp = self._sample_phase_packed(
+                    pack, medium, ray.direction, u1, u2
+                )
+                guide_sample, rng = self.targetGuide.sample(
+                    p["guide"], ray.position, rng
+                )
+                phase_eval = self.targetGuide.eval(
+                    p["guide"], ray.position, dir_phase
+                )
+                p_tt = guide_sample.prob
+                p_tp = phase_eval.prob
+                p_pt, log_p_pt = self._scatter_prob_packed(
+                    pack, medium, ray.direction, guide_sample.direction
+                )
+                w_target = sg(p_tt) * sg(p_pt) / (sg(p_tt) ** 2 + sg(p_pt) ** 2)
+                w_phase = sg(p_pp) ** 2 / (sg(p_pp) ** 2 + sg(p_tp) ** 2)
+                w_target = jnp.nan_to_num(w_target, nan=0.0, posinf=0.0, neginf=0.0)
+                w_phase = jnp.nan_to_num(w_phase, nan=0.0, posinf=0.0, neginf=0.0)
+
+                for s_dir, s_dist, w, corr in (
+                    (dir_phase, phase_eval.dist, w_phase, log_p_pp),
+                    (guide_sample.direction, guide_sample.dist, w_target, log_p_pt),
+                ):
+                    shadow = replace(
+                        ray,
+                        direction=s_dir,
+                        lin_contrib=ray.lin_contrib
+                        * ray.constants.mu_s
+                        * sg(w),
+                        log_contrib=ray.log_contrib + corr - sg(corr),
+                    )
+                    s_hit = intersect_scene(
+                        pack, medium, shadow.position, s_dir, s_dist
+                    )
+                    resp_state, rng = self._shadow_response(
+                        p, resp_state, shadow, s_hit, miss, rng, prop
+                    )
+                rng = _merge_dim(rng, rng_b, miss)
+
+            # scatter the real ray
+            rng_b = rng
+            (su1, su2), rng = rng.uniform2d()
+            scat_dir, _, scat_log_p = self._sample_phase_packed(
+                pack, medium, ray.direction, su1, su2
+            )
+            scat_corr = scat_log_p - sg(scat_log_p)
+            ray = replace(
+                ray,
+                direction=jnp.where(miss[..., None], scat_dir, ray.direction),
+                lin_contrib=jnp.where(
+                    miss, ray.lin_contrib * ray.constants.mu_s, ray.lin_contrib
+                ),
+                log_contrib=jnp.where(
+                    miss, ray.log_contrib + scat_corr, ray.log_contrib
+                ),
+            )
+            rng = _merge_dim(rng, rng_b, miss)
+
+            # ---- result codes + events ----
+            code = jnp.where(
+                surf & respond,
+                jnp.int32(EventResultCode.RAY_DETECTED),
+                jnp.where(
+                    surf & vol_border,
+                    jnp.int32(EventResultCode.VOLUME_HIT),
+                    jnp.where(
+                        surf,
+                        jnp.int32(EventResultCode.RAY_HIT),
+                        jnp.where(
+                            pre_alive & in_bounds,
+                            jnp.int32(EventResultCode.RAY_SCATTERED),
+                            code,
+                        ),
+                    ),
+                ),
+            )
+            code = jnp.where(
+                absorbed_surf, jnp.int32(EventResultCode.RAY_ABSORBED), code
+            )
+            alive = pre_alive & (code >= 0) & ~absorbed_surf
+            cb_state = self.callback.on_event(
+                p["callback"], cb_state, ray, code, pre_alive, i + 1
+            )
+
+            if mis:
+                allow_response = code != jnp.int32(EventResultCode.RAY_SCATTERED)
+            else:
+                allow_response = jnp.ones_like(allow_response)
+
+            return ray, medium, alive, allow_response, rng, resp_state, cb_state
+
+        carry = (ray, medium, alive, allow_response, rng, resp_state, cb_state)
+        ray, medium, alive, allow_response, rng, resp_state, cb_state = (
+            lax.fori_loop(0, self.maxPathLength, body, carry)
+        )
+        cb_state = self.callback.on_event(
+            p["callback"],
+            cb_state,
+            ray,
+            jnp.full_like(streams, int(EventResultCode.MAX_ITER), jnp.int32),
+            alive,
+            self.maxPathLength + 1,
+        )
+        return resp_state, cb_state
+
+    # -- host API --------------------------------------------------------
+
+    def run(self, params=None, *, advance: bool = True):
+        p = self.params() if params is None else params
+        streams = jnp.arange(self.batchSize, dtype=jnp.uint32)
+        counter = self.rng.counter_words
+        resp_state, cb_state = self._jit_trace(p, counter, streams)
+        if advance:
+            self.rng.advance()
+        return (
+            self.response.result(p["response"], resp_state),
+            self.callback.result(p["callback"], cb_state),
+        )
+
+    def trace_fn(self):
+        return self._trace_batch, (
+            self.params(),
+            self.rng.counter_words,
+            jnp.arange(self.batchSize, dtype=jnp.uint32),
+        )
