@@ -1,0 +1,106 @@
+"""Multi-chip data parallelism: sharded trace must equal single-device
+(identical global RNG streams; only float summation order differs)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from theia_tpu.callback import EventStatisticCallback
+from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+from theia_tpu.material import (
+    DispersionFreeMedium,
+    HenyeyGreensteinPhaseFunction,
+    MediumModel,
+)
+from theia_tpu.parallel import make_photon_mesh, shard_trace, sharded_streams
+from theia_tpu.random import PhiloxRNG
+from theia_tpu.response import HistogramHitResponse
+from theia_tpu.target import InnerSphereTarget
+from theia_tpu.trace import VolumeForwardTracer
+
+
+class Model(DispersionFreeMedium, HenyeyGreensteinPhaseFunction, MediumModel):
+    def __init__(self):
+        DispersionFreeMedium.__init__(self, n=1.33, ng=1.33, mu_a=0.01, mu_s=0.01)
+        HenyeyGreensteinPhaseFunction.__init__(self, 0.4)
+
+
+def build(batch):
+    return VolumeForwardTracer(
+        batch,
+        SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e9),
+        InnerSphereTarget(position=(0.0, 0.0, 0.0), radius=60.0),
+        UniformWavelengthSource(lambdaRange=(400.0, 500.0)),
+        HistogramHitResponse(nBins=40, t0=0.0, binSize=20.0),
+        PhiloxRNG(key=0xC0FFEE),
+        medium=Model().createMedium(num_lambda=64, num_theta=64),
+        nScattering=4,
+        scatterCoefficient=0.02,
+        callback=EventStatisticCallback(),
+    )
+
+
+def test_sharded_equals_single():
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    batch = 8 * 1024
+    tracer = build(batch)
+    p = tracer.params()
+    counter = tracer.rng.counter_words
+
+    # single device
+    hist1, stats1 = tracer._jit_trace(p, counter, jnp.arange(batch, dtype=jnp.uint32))
+
+    # 8-way sharded
+    mesh = make_photon_mesh()
+    fn = shard_trace(tracer, mesh)
+    streams = sharded_streams(batch, mesh)
+    hist8, stats8 = fn(p, counter, streams)
+
+    assert np.allclose(np.asarray(hist1), np.asarray(hist8), rtol=2e-4, atol=1e-3)
+    assert np.array_equal(np.asarray(stats1), np.asarray(stats8))
+
+
+def test_sharded_gradient():
+    """Gradients flow through shard_map + psum (the distributed backward)."""
+    import dataclasses
+
+    batch = 4 * 1024
+    tracer = build(batch)
+    medium = tracer.medium
+    p0 = tracer.params()
+    counter = tracer.rng.counter_words
+    mesh = make_photon_mesh()
+    streams = sharded_streams(batch, mesh)
+
+    def total(tbl, streams):
+        p = dict(p0)
+        p["medium"] = dataclasses.replace(medium, absorption_coef=tbl)
+        hist, _ = tracer._trace_batch(p, counter, streams)
+        return jnp.sum(hist)
+
+    from jax.sharding import PartitionSpec as P
+
+    g_single = jax.grad(total)(
+        jnp.asarray(medium.absorption_coef), jnp.arange(batch, dtype=jnp.uint32)
+    )
+
+    def sharded_total(tbl, streams):
+        def inner(tbl, streams):
+            val = total(tbl, streams)
+            return jax.lax.psum(val, "batch")
+
+        return jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(), P("batch")),
+            out_specs=P(),
+            check_vma=False,
+        )(tbl, streams)
+
+    g_shard = jax.jit(jax.grad(sharded_total))(
+        jnp.asarray(medium.absorption_coef), streams
+    )
+    assert np.allclose(
+        np.asarray(g_single), np.asarray(g_shard), rtol=2e-3, atol=1e-2
+    )

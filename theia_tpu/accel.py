@@ -58,75 +58,105 @@ class SurfaceHit:
     error: jax.Array  # i32[N] media-mismatch error code or 0
 
 
-def _moeller_trumbore(origin, direction, v0, e1, e2):
-    """Vectorized Moeller-Trumbore: lanes (N,1,3) x triangles (1,C,3).
-
-    Returns (t, b1, b2, hit_mask)."""
-    pvec = jnp.cross(direction, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
-    # backface culling is NOT used (meshes are interfaces, hit both sides)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = origin - v0
-    b1 = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    b2 = jnp.sum(direction * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-    hit = (
-        (jnp.abs(det) > 1e-12)
-        & (b1 >= 0.0)
-        & (b2 >= 0.0)
-        & (b1 + b2 <= 1.0)
-        & (t > 0.0)
-    )
-    return t, b1, b2, hit
-
-
 def _nearest_triangle(pack: ScenePack, origin, direction, t_max, chunk: int):
     """Scan over triangle chunks keeping the nearest hit per lane.
+
+    TPU layout note: all intermediates are (N, C) with the chunk axis on
+    the 128-wide vector lanes — structure-of-arrays over the xyz
+    components. The naive (N, C, 3) formulation puts the 3-axis on the
+    lanes (2.3% utilization, measured ~8x slower end-to-end).
 
     Returns (t, tri_idx, b1, b2); tri_idx == -1 on miss."""
     n_tri = pack.w_v0.shape[0]
     n_chunks = -(-n_tri // chunk)
     pad = n_chunks * chunk - n_tri
 
-    def pad_tris(a, fill):
-        return jnp.pad(a, ((0, pad), (0, 0)), constant_values=fill).reshape(
-            n_chunks, chunk, 3
-        )
+    def comp(a, fill):
+        """(T,3) -> three (n_chunks, C) component arrays."""
+        a = jnp.pad(a, ((0, pad), (0, 0)), constant_values=fill)
+        return tuple(a[:, i].reshape(n_chunks, chunk) for i in range(3))
 
-    v0 = pad_tris(pack.w_v0, 3.0e38)  # padded tris can never be hit
-    e1 = pad_tris(pack.w_e1, 0.0)
-    e2 = pad_tris(pack.w_e2, 0.0)
+    v0x, v0y, v0z = comp(pack.w_v0, 3.0e38)  # padded tris can never be hit
+    e1x, e1y, e1z = comp(pack.w_e1, 0.0)
+    e2x, e2y, e2z = comp(pack.w_e2, 0.0)
 
-    o = origin[:, None, :]
-    d = direction[:, None, :]
     N = origin.shape[0]
+    ox, oy, oz = (origin[:, i : i + 1] for i in range(3))
+    dx, dy, dz = (direction[:, i : i + 1] for i in range(3))
 
     def body(carry, tris):
-        best_t, best_i, best_b1, best_b2 = carry
-        cv0, ce1, ce2, base = tris
-        t, b1, b2, hit = _moeller_trumbore(o, d, cv0[None], ce1[None], ce2[None])
+        best_t, best_i = carry
+        (cv0x, cv0y, cv0z, ce1x, ce1y, ce1z, ce2x, ce2y, ce2z, base) = tris
+        cv0x, cv0y, cv0z = cv0x[None], cv0y[None], cv0z[None]
+        ce1x, ce1y, ce1z = ce1x[None], ce1y[None], ce1z[None]
+        ce2x, ce2y, ce2z = ce2x[None], ce2y[None], ce2z[None]
+        # Moeller-Trumbore, fully scalarized per component; no backface
+        # culling (meshes are media interfaces, hit from both sides)
+        px = dy * ce2z - dz * ce2y
+        py = dz * ce2x - dx * ce2z
+        pz = dx * ce2y - dy * ce2x
+        det = ce1x * px + ce1y * py + ce1z * pz
+        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tx = ox - cv0x
+        ty = oy - cv0y
+        tz = oz - cv0z
+        b1 = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * ce1z - tz * ce1y
+        qy = tz * ce1x - tx * ce1z
+        qz = tx * ce1y - ty * ce1x
+        b2 = (dx * qx + dy * qy + dz * qz) * inv
+        t = (ce2x * qx + ce2y * qy + ce2z * qz) * inv
+        hit = (
+            (inv != 0.0)
+            & (b1 >= 0.0)
+            & (b2 >= 0.0)
+            & (b1 + b2 <= 1.0)
+            & (t > 0.0)
+        )
         t = jnp.where(hit, t, jnp.inf)
-        arg = jnp.argmin(t, axis=-1)
-        tt = jnp.take_along_axis(t, arg[:, None], axis=-1)[:, 0]
+        # gather-free reduction: min t, then index via masked reduce
+        # (take_along_axis per-row gathers were the dominant cost on TPU)
+        tt = jnp.min(t, axis=-1)
+        local = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        idx_c = jnp.min(
+            jnp.where(t == tt[:, None], local, jnp.int32(0x7FFFFFFF)), axis=-1
+        )
         better = tt < best_t
-        sel = lambda a, b: jnp.where(better, a, b)
-        best_b1 = sel(jnp.take_along_axis(b1, arg[:, None], -1)[:, 0], best_b1)
-        best_b2 = sel(jnp.take_along_axis(b2, arg[:, None], -1)[:, 0], best_b2)
-        best_i = sel(arg.astype(jnp.int32) + base, best_i)
-        best_t = sel(tt, best_t)
-        return (best_t, best_i, best_b1, best_b2), None
+        best_i = jnp.where(better, idx_c + base, best_i)
+        best_t = jnp.where(better, tt, best_t)
+        return (best_t, best_i), None
 
     init = (
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,)),
         jnp.full((N,), -1, jnp.int32),
-        jnp.zeros((N,), jnp.float32),
-        jnp.zeros((N,), jnp.float32),
     )
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (t, idx, b1, b2), _ = lax.scan(body, init, (v0, e1, e2, bases))
+    (t, idx), _ = lax.scan(
+        body,
+        init,
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, bases),
+    )
     miss = idx < 0
-    return jnp.where(miss, jnp.inf, t), idx, b1, b2
+    t = jnp.where(miss, jnp.inf, t)
+
+    # recompute barycentrics for the single winning triangle per lane
+    tri_safe = jnp.maximum(idx, 0)
+    g = lambda a: jnp.take(a, tri_safe, axis=0)
+    wv0, we1, we2 = g(pack.w_v0), g(pack.w_e1), g(pack.w_e2)
+    px = direction[:, 1] * we2[:, 2] - direction[:, 2] * we2[:, 1]
+    py = direction[:, 2] * we2[:, 0] - direction[:, 0] * we2[:, 2]
+    pz = direction[:, 0] * we2[:, 1] - direction[:, 1] * we2[:, 0]
+    det = we1[:, 0] * px + we1[:, 1] * py + we1[:, 2] * pz
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tx = origin[:, 0] - wv0[:, 0]
+    ty = origin[:, 1] - wv0[:, 1]
+    tz = origin[:, 2] - wv0[:, 2]
+    b1 = (tx * px + ty * py + tz * pz) * inv
+    qx = ty * we1[:, 2] - tz * we1[:, 1]
+    qy = tz * we1[:, 0] - tx * we1[:, 2]
+    qz = tx * we1[:, 1] - ty * we1[:, 0]
+    b2 = (direction[:, 0] * qx + direction[:, 1] * qy + direction[:, 2] * qz) * inv
+    return t, idx, b1, b2
 
 
 def offset_ray(p: jax.Array, n: jax.Array) -> jax.Array:
