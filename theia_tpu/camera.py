@@ -1,0 +1,515 @@
+"""Cameras: entry points for backward and direct tracing.
+
+A camera samples rays *leaving* the detector (backward tracing) or detector
+points to connect light samples to (direct tracing). Hit coordinates are
+reported in the camera's object space so responses are pose-independent;
+the hit position may differ from the ray origin to model lenses/housings
+(reference: src/theia/camera.py:39-75, shader/camera.common.glsl,
+docs/pipeline/components.md:154-157).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import units as u
+from .component import Component
+from .ops.math3d import (
+    dot,
+    local_frame,
+    normalize,
+    perpendicular_to,
+    perpendicular_to2,
+    perpendicular_to_z_and,
+    vec3,
+)
+from .ops.sampling import (
+    FOUR_PI,
+    TWO_PI,
+    sample_direction_cone,
+    sample_hemisphere,
+    sample_unit_sphere,
+)
+from .random import RNGState
+
+__all__ = [
+    "CameraRay",
+    "CameraSample",
+    "Camera",
+    "PencilCamera",
+    "FlatCamera",
+    "ConeCamera",
+    "SphereCamera",
+    "PointCamera",
+    "HostCamera",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CameraRay:
+    """Ray leaving the detector plus the detector-space hit it corresponds
+    to (reference: shader/camera.common.glsl:34-47)."""
+
+    position: jax.Array  # f32[N,3]
+    direction: jax.Array  # f32[N,3]
+    contrib: jax.Array  # f32[N]
+    time_delta: jax.Array  # f32[N]
+    hit_position: jax.Array  # f32[N,3] object space
+    hit_direction: jax.Array  # f32[N,3] object space
+    hit_normal: jax.Array  # f32[N,3] object space
+    object_id: jax.Array  # i32[N]
+    pol_ref: jax.Array | None = None  # f32[N,3]
+    hit_pol_ref: jax.Array | None = None  # f32[N,3]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CameraSample:
+    """Detector point for direct connections
+    (reference: shader/camera.common.glsl:8-20)."""
+
+    position: jax.Array  # f32[N,3]
+    normal: jax.Array  # f32[N,3]
+    contrib: jax.Array  # f32[N]
+    object_id: jax.Array  # i32[N]
+
+
+def _ids(shape, value=-1):
+    return jnp.full(shape, value, jnp.int32)
+
+
+class Camera(Component):
+    """Base camera (reference: src/theia/camera.py:39-75)."""
+
+    name = "Camera"
+    nRNGSamples: int = 0
+    nRNGDirect: int = 0
+    supportDirect: bool = False
+
+    def sample_ray(
+        self, params, wavelength, rng: RNGState
+    ) -> tuple[CameraRay, RNGState]:
+        raise NotImplementedError
+
+    def sample_point(
+        self, params, wavelength, rng: RNGState
+    ) -> tuple[CameraSample, RNGState]:
+        """sampleCamera: detector point for direct lighting."""
+        raise NotImplementedError
+
+    def ray_from_point(
+        self, params, cam: CameraSample, light_dir, wavelength
+    ) -> CameraRay:
+        """createCameraRay(sample, lightDir): complete a direct connection."""
+        raise NotImplementedError
+
+
+class PencilCamera(Camera):
+    """Single deterministic ray (reference: src/theia/camera.py:350-427,
+    shader/camera.pencil.glsl)."""
+
+    name = "Pencil Camera"
+    nRNGSamples = 0
+    _param_names = (
+        "rayPosition",
+        "rayDirection",
+        "timeDelta",
+        "hitPosition",
+        "hitDirection",
+        "hitNormal",
+    )
+
+    def __init__(
+        self,
+        *,
+        rayPosition=(0.0, 0.0, 0.0),
+        rayDirection=(0.0, 0.0, 1.0),
+        timeDelta: float = 0.0,
+        hitPosition=(0.0, 0.0, 0.0),
+        hitDirection=(0.0, 0.0, -1.0),
+        hitNormal=(0.0, 0.0, 1.0),
+    ) -> None:
+        self.rayPosition = rayPosition
+        self.rayDirection = rayDirection
+        self.timeDelta = timeDelta
+        self.hitPosition = hitPosition
+        self.hitDirection = hitDirection
+        self.hitNormal = hitNormal
+
+    def sample_ray(self, params, wavelength, rng: RNGState):
+        shape = rng.stream.shape
+        b = lambda k: jnp.broadcast_to(params[k], (*shape, 3))
+        s = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32), shape)
+        return (
+            CameraRay(
+                position=b("rayPosition"),
+                direction=b("rayDirection"),
+                contrib=s(1.0),
+                time_delta=jnp.broadcast_to(params["timeDelta"], shape),
+                hit_position=b("hitPosition"),
+                hit_direction=b("hitDirection"),
+                hit_normal=b("hitNormal"),
+                object_id=_ids(shape),
+            ),
+            rng,
+        )
+
+
+class FlatCamera(Camera):
+    """Rectangular detector; local frame given by a view matrix
+    (reference: src/theia/camera.py:468-577, shader/camera.flat.glsl)."""
+
+    name = "Flat Camera"
+    nRNGSamples = 4
+    nRNGDirect = 2
+    supportDirect = True
+    _param_names = ("width", "length", "offset", "view")
+
+    def __init__(
+        self,
+        *,
+        width: float = 1.0 * u.cm,
+        length: float = 1.0 * u.cm,
+        offset=(0.0, 0.0, 0.0),
+        view=None,
+    ) -> None:
+        self.width = width
+        self.length = length
+        self.offset = offset
+        self.view = np.eye(3, dtype=np.float32) if view is None else np.asarray(view, np.float32)
+
+    def _frames(self, params, shape):
+        view = jnp.broadcast_to(params["view"], (*shape, 3, 3))
+        obj_to_world = jnp.swapaxes(view, -1, -2)  # orthogonal inverse
+        return view, obj_to_world
+
+    def sample_ray(self, params, wavelength, rng: RNGState):
+        shape = rng.stream.shape
+        view, o2w = self._frames(params, shape)
+        (u1, u2), rng = rng.uniform2d()
+        local_pos = vec3(
+            params["width"] * (u1 - 0.5),
+            params["length"] * (u2 - 0.5),
+            jnp.zeros_like(u1),
+        )
+        ray_pos = (
+            jnp.einsum("...ij,...j->...i", o2w, local_pos) + params["offset"]
+        )
+        (u3, u4), rng = rng.uniform2d()
+        local_dir = sample_hemisphere(u3, u4)
+        cos_theta = local_dir[..., 2]
+        ray_dir = jnp.einsum("...ij,...j->...i", o2w, local_dir)
+        local_dir = -local_dir
+        contrib = (
+            jnp.float32(TWO_PI) * params["width"] * params["length"] * cos_theta
+        )
+        z = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), local_pos.shape)
+        return (
+            CameraRay(
+                position=ray_pos,
+                direction=ray_dir,
+                contrib=contrib,
+                time_delta=jnp.zeros_like(contrib),
+                hit_position=local_pos,
+                hit_direction=local_dir,
+                hit_normal=z,
+                object_id=_ids(shape),
+            ),
+            rng,
+        )
+
+    def sample_point(self, params, wavelength, rng: RNGState):
+        shape = rng.stream.shape
+        view, o2w = self._frames(params, shape)
+        (u1, u2), rng = rng.uniform2d()
+        local_pos = vec3(
+            params["width"] * (u1 - 0.5),
+            params["length"] * (u2 - 0.5),
+            jnp.zeros_like(u1),
+        )
+        pos = jnp.einsum("...ij,...j->...i", o2w, local_pos) + params["offset"]
+        nrm = jnp.einsum(
+            "...ij,...j->...i",
+            o2w,
+            jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), local_pos.shape),
+        )
+        contrib = jnp.broadcast_to(
+            params["width"] * params["length"], shape
+        )
+        return CameraSample(pos, nrm, contrib, _ids(shape)), rng
+
+    def ray_from_point(self, params, cam: CameraSample, light_dir, wavelength):
+        shape = cam.contrib.shape
+        view, o2w = self._frames(params, shape)
+        local_pos = jnp.einsum(
+            "...ij,...j->...i", view, cam.position - params["offset"]
+        )
+        local_dir = jnp.einsum("...ij,...j->...i", view, light_dir)
+        cos_theta = -local_dir[..., 2]
+        contrib = cam.contrib * cos_theta
+        contrib = contrib * (dot(cam.normal, light_dir) < 0.0).astype(jnp.float32)
+        z = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), local_pos.shape)
+        return CameraRay(
+            position=cam.position,
+            direction=-light_dir,
+            contrib=contrib,
+            time_delta=jnp.zeros_like(contrib),
+            hit_position=local_pos,
+            hit_direction=local_dir,
+            hit_normal=z,
+            object_id=cam.object_id,
+        )
+
+
+class ConeCamera(Camera):
+    """Point detector accepting a cone of directions
+    (reference: src/theia/camera.py:580-632, shader/camera.cone.glsl)."""
+
+    name = "Cone Camera"
+    nRNGSamples = 2
+    nRNGDirect = 0
+    supportDirect = True
+    _param_names = ("position", "direction", "cosOpeningAngle")
+
+    def __init__(
+        self,
+        *,
+        position=(0.0, 0.0, 0.0),
+        direction=(0.0, 0.0, 1.0),
+        cosOpeningAngle: float = 1.0,
+    ) -> None:
+        self.position = position
+        self.direction = direction
+        self.cosOpeningAngle = cosOpeningAngle
+
+    def sample_ray(self, params, wavelength, rng: RNGState):
+        shape = rng.stream.shape
+        (u1, u2), rng = rng.uniform2d()
+        local_dir = sample_direction_cone(params["cosOpeningAngle"], u1, u2)
+        axis = jnp.broadcast_to(params["direction"], (*shape, 3))
+        vx, vy = local_frame(axis)
+        ray_dir = (
+            local_dir[..., 0:1] * vx
+            + local_dir[..., 1:2] * vy
+            + local_dir[..., 2:3] * axis
+        )
+        local_dir = -local_dir
+        contrib = jnp.broadcast_to(
+            jnp.float32(TWO_PI) * (1.0 - params["cosOpeningAngle"]), shape
+        )
+        zero = jnp.zeros((*shape, 3), jnp.float32)
+        z = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), zero.shape)
+        return (
+            CameraRay(
+                position=jnp.broadcast_to(params["position"], (*shape, 3)),
+                direction=ray_dir,
+                contrib=contrib,
+                time_delta=jnp.zeros(shape, jnp.float32),
+                hit_position=zero,
+                hit_direction=local_dir,
+                hit_normal=z,
+                object_id=_ids(shape),
+            ),
+            rng,
+        )
+
+    def sample_point(self, params, wavelength, rng: RNGState):
+        shape = rng.stream.shape
+        return (
+            CameraSample(
+                position=jnp.broadcast_to(params["position"], (*shape, 3)),
+                normal=jnp.broadcast_to(params["direction"], (*shape, 3)),
+                contrib=jnp.ones(shape, jnp.float32),
+                object_id=_ids(shape),
+            ),
+            rng,
+        )
+
+    def ray_from_point(self, params, cam: CameraSample, light_dir, wavelength):
+        shape = cam.contrib.shape
+        axis = jnp.broadcast_to(params["direction"], (*shape, 3))
+        cos_angle = dot(axis, -light_dir)
+        contrib = (cos_angle >= 1.0 - params["cosOpeningAngle"]).astype(
+            jnp.float32
+        )
+        vx, vy = local_frame(axis)
+        # transpose(trafo) @ lightDir
+        hit_dir = jnp.stack(
+            [dot(vx, light_dir), dot(vy, light_dir), dot(axis, light_dir)],
+            axis=-1,
+        )
+        zero = jnp.zeros((*shape, 3), jnp.float32)
+        z = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), zero.shape)
+        return CameraRay(
+            position=cam.position,
+            direction=-light_dir,
+            contrib=contrib,
+            time_delta=jnp.zeros(shape, jnp.float32),
+            hit_position=zero,
+            hit_direction=hit_dir,
+            hit_normal=z,
+            object_id=cam.object_id,
+        )
+
+
+class SphereCamera(Camera):
+    """Spherical detector; object space is the unit sphere
+    (reference: src/theia/camera.py:635-701, shader/camera.sphere.glsl)."""
+
+    name = "Sphere Camera"
+    nRNGSamples = 4
+    nRNGDirect = 2
+    supportDirect = True
+    _param_names = ("position", "radius", "timeDelta")
+
+    def __init__(
+        self,
+        *,
+        position=(0.0, 0.0, 0.0),
+        radius: float = 1.0 * u.m,
+        timeDelta: float = 0.0,
+    ) -> None:
+        self.position = position
+        self.radius = radius
+        self.timeDelta = timeDelta
+
+    def sample_ray(self, params, wavelength, rng: RNGState):
+        shape = rng.stream.shape
+        r = params["radius"]
+        (u1, u2), rng = rng.uniform2d()
+        normal = sample_unit_sphere(u1, u2)
+        ray_pos = r * normal + jnp.broadcast_to(params["position"], normal.shape)
+        (u3, u4), rng = rng.uniform2d()
+        local = sample_hemisphere(u3, u4)
+        cos_theta = local[..., 2]
+        vx, vy = local_frame(normal)
+        ray_dir = (
+            local[..., 0:1] * vx + local[..., 1:2] * vy + local[..., 2:3] * normal
+        )
+        contrib = cos_theta * (
+            jnp.float32(4.0 * np.pi * 2.0 * np.pi) * r * r
+        )
+        return (
+            CameraRay(
+                position=ray_pos,
+                direction=ray_dir,
+                contrib=contrib,
+                time_delta=jnp.broadcast_to(params["timeDelta"], shape),
+                hit_position=normal,
+                # object space is the unit sphere (no rotation): the local
+                # incident direction is just the negated world direction
+                hit_direction=-ray_dir,
+                hit_normal=normal,
+                object_id=_ids(shape),
+            ),
+            rng,
+        )
+
+    def sample_point(self, params, wavelength, rng: RNGState):
+        shape = rng.stream.shape
+        r = params["radius"]
+        (u1, u2), rng = rng.uniform2d()
+        normal = sample_unit_sphere(u1, u2)
+        pos = r * normal + jnp.broadcast_to(params["position"], normal.shape)
+        contrib = jnp.broadcast_to(
+            jnp.float32(4.0 * np.pi) * r * r, shape
+        )
+        return CameraSample(pos, normal, contrib, _ids(shape)), rng
+
+    def ray_from_point(self, params, cam: CameraSample, light_dir, wavelength):
+        shape = cam.contrib.shape
+        cos_theta = dot(light_dir, -cam.normal)
+        contrib = cam.contrib * cos_theta
+        contrib = contrib * (dot(cam.normal, light_dir) < 0.0).astype(jnp.float32)
+        return CameraRay(
+            position=cam.position,
+            direction=-light_dir,
+            contrib=contrib,
+            time_delta=jnp.broadcast_to(params["timeDelta"], shape),
+            hit_position=cam.normal,
+            hit_direction=light_dir,
+            hit_normal=cam.normal,
+            object_id=cam.object_id,
+        )
+
+
+class PointCamera(Camera):
+    """Isotropic point detector (reference: src/theia/camera.py:702-745,
+    shader/camera.point.glsl)."""
+
+    name = "Point Camera"
+    nRNGSamples = 2
+    _param_names = ("position", "timeDelta")
+
+    def __init__(self, *, position=(0.0, 0.0, 0.0), timeDelta: float = 0.0):
+        self.position = position
+        self.timeDelta = timeDelta
+
+    def sample_ray(self, params, wavelength, rng: RNGState):
+        shape = rng.stream.shape
+        (u1, u2), rng = rng.uniform2d()
+        direction = sample_unit_sphere(u1, u2)
+        zero = jnp.zeros((*shape, 3), jnp.float32)
+        return (
+            CameraRay(
+                position=jnp.broadcast_to(params["position"], (*shape, 3)),
+                direction=direction,
+                contrib=jnp.full(shape, FOUR_PI, jnp.float32),
+                time_delta=jnp.broadcast_to(params["timeDelta"], shape),
+                hit_position=zero,
+                hit_direction=-direction,
+                hit_normal=direction,
+                object_id=_ids(shape),
+            ),
+            rng,
+        )
+
+
+class HostCamera(Camera):
+    """Camera rays provided by the host, indexed by stream id
+    (reference: src/theia/camera.py:270-349)."""
+
+    name = "Host Camera"
+    nRNGSamples = 0
+    _param_names = (
+        "position",
+        "direction",
+        "contrib",
+        "timeDelta",
+        "hitPosition",
+        "hitDirection",
+        "hitNormal",
+    )
+
+    def __init__(
+        self, position, direction, contrib, timeDelta, hitPosition, hitDirection, hitNormal
+    ) -> None:
+        self.position = np.asarray(position, np.float32)
+        self.direction = np.asarray(direction, np.float32)
+        self.contrib = np.asarray(contrib, np.float32)
+        self.timeDelta = np.asarray(timeDelta, np.float32)
+        self.hitPosition = np.asarray(hitPosition, np.float32)
+        self.hitDirection = np.asarray(hitDirection, np.float32)
+        self.hitNormal = np.asarray(hitNormal, np.float32)
+
+    def sample_ray(self, params, wavelength, rng: RNGState):
+        idx = rng.stream.astype(jnp.int32) % params["contrib"].shape[0]
+        take = lambda k: jnp.take(params[k], idx, axis=0)
+        return (
+            CameraRay(
+                position=take("position"),
+                direction=take("direction"),
+                contrib=take("contrib"),
+                time_delta=take("timeDelta"),
+                hit_position=take("hitPosition"),
+                hit_direction=take("hitDirection"),
+                hit_normal=take("hitNormal"),
+                object_id=_ids(idx.shape),
+            ),
+            rng,
+        )
