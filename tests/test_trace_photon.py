@@ -1,0 +1,125 @@
+"""Photon tracers: cross-check against the radiance estimator (reference
+tests/test_trace_energy.py:1353-1550 chain of trust)."""
+
+import numpy as np
+import pytest
+
+import theia_tpu.units as u
+from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+from theia_tpu.material import (
+    DispersionFreeMedium,
+    HenyeyGreensteinPhaseFunction,
+    MediumModel,
+)
+from theia_tpu.random import PhiloxRNG
+from theia_tpu.response import HistogramHitResponse, StoreTimeHitResponse
+from theia_tpu.target import InnerSphereTarget
+from theia_tpu.trace import VolumeForwardTracer
+from theia_tpu.trace.photon import VolumePhotonTracer
+
+
+class Model(DispersionFreeMedium, HenyeyGreensteinPhaseFunction, MediumModel):
+    ModelName = "homogenous"
+
+    def __init__(self, a, s, g, *, n=1.33, ng=1.33):
+        DispersionFreeMedium.__init__(self, n=n, ng=ng, mu_a=a, mu_s=s)
+        HenyeyGreensteinPhaseFunction.__init__(self, g)
+
+
+def test_volume_photon_matches_forward():
+    """Expected photon counts per time bin (photon mode) must match the
+    radiance light curve (forward mode) divided by the photon budget."""
+    position = (0.0, 0.0, 0.0)
+    radius = 100.0
+    t0 = 10.0
+    mu_a, mu_s, g = 0.005, 0.01, 0.3
+    budget = 1.0  # photon mode: per-photon simulation
+    medium = Model(mu_a, mu_s, g).createMedium()
+    n_bins, bin_size = 40, 25.0
+
+    fwd = VolumeForwardTracer(
+        64 * 1024,
+        SphericalLightSource(position=position, timeRange=(t0, t0), budget=budget),
+        InnerSphereTarget(position=position, radius=radius),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        HistogramHitResponse(nBins=n_bins, t0=0.0, binSize=bin_size),
+        PhiloxRNG(key=0xC0FFEE),
+        medium=medium,
+        nScattering=12,
+        scatterCoefficient=float("nan"),
+        maxTime=float("inf"),
+    )
+    facc = None
+    for _ in range(4):
+        h, _ = fwd.run()
+        facc = h if facc is None else facc + h
+    fcurve = np.asarray(facc) / 4  # expected detections per photon per bin
+
+    # photon mode: each lane is one photon; count detections per bin
+    batch = 64 * 1024
+    pho = VolumePhotonTracer(
+        batch,
+        SphericalLightSource(position=position, timeRange=(t0, t0), budget=budget),
+        InnerSphereTarget(position=position, radius=radius),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        StoreTimeHitResponse(),
+        PhiloxRNG(key=0xBEEF),
+        medium=medium,
+        nScatteringPerRun=6,
+        nRuns=3,
+        maxTime=float("inf"),
+    )
+    counts = np.zeros(n_bins)
+    n_batches = 4
+    for _ in range(n_batches):
+        out, _ = pho.run()
+        valid = np.asarray(out["valid"])
+        times = np.asarray(out["time"])[valid]
+        h, _ = np.histogram(times, bins=n_bins, range=(0.0, n_bins * bin_size))
+        counts += h
+    pcurve = counts / (batch * n_batches)
+
+    # compare detection probabilities per bin where statistics allow
+    mask = fcurve * batch * n_batches > 50
+    assert mask.sum() >= 5
+    rel = np.abs(pcurve[mask] - fcurve[mask]) / fcurve[mask]
+    assert np.median(rel) < 0.15
+    assert np.abs(pcurve.sum() / fcurve.sum() - 1.0) < 0.05
+
+
+def test_scene_photon_smoke():
+    """ScenePhotonTracer end-to-end on the enclosing DB sphere: detected
+    photon count ~= batch (no absorption, everything eventually detected
+    or truncated)."""
+    from theia_tpu.material import Material, MaterialStore
+    from theia_tpu.scene import MeshStore, Scene, Transform
+    from theia_tpu.trace.photon import ScenePhotonTracer
+
+    medium = Model(0.0, 0.01, 0.0).createMedium()
+    mat = Material("det", medium, None, flags="DB")
+    store = MaterialStore.pack([mat])
+    meshes = MeshStore({"sphere": "/root/reference/assets/sphere.stl"})
+    inst = meshes.createInstance(
+        "sphere", "det", Transform.TRS(scale=50.0), detectorId=0
+    )
+    scene = Scene([inst], store, medium="homogenous")
+    batch = 8 * 1024
+    tracer = ScenePhotonTracer(
+        batch,
+        SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1.0),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        StoreTimeHitResponse(),
+        PhiloxRNG(key=7),
+        scene,
+        nScatteringPerRun=5,
+        nRuns=4,
+        maxTime=float("inf"),
+    )
+    out, _ = tracer.run()
+    valid = np.asarray(out["valid"])
+    # no absorption: nearly every photon must be detected within 20 segments
+    assert valid.sum() > 0.95 * batch
+    t = np.asarray(out["time"])[valid]
+    # arrival no earlier than the ballistic flight time to the mesh
+    # (triangle faces are chords: face planes sit at ~0.994 of the radius)
+    assert t.min() >= 0.993 * 50.0 / (u.c / 1.33)

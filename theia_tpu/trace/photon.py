@@ -1,0 +1,394 @@
+"""Photon-resolved tracers: Russian-roulette absorption sampling.
+
+The reference's wavefront photon mode traces PATH_LENGTH segments per
+"run", compacts survivors into a queue and relaunches with an indirect
+dispatch (reference: src/theia/trace.py:2370-2959,
+shader/tracer.{volume,scene}.photon.*.glsl, SURVEY.md §3.3). On TPU the
+wavefront already runs all lanes each segment, so compaction buys nothing:
+the runs collapse into ``nRuns x nScatteringPerRun`` masked loop segments.
+The reference's *RNG schedule* is kept: every run starts at a fixed
+per-run dimension base (its relaunch pushes a uniform dim offset), so
+streams stay comparable.
+
+Per segment the photon's accumulated contribution is its survival
+probability: survival is sampled (contrib <= u -> absorbed), then the
+contribution resets to 1. Detection reports the survival chance as
+contribution — pair with ``StoreTimeHitResponse`` to sample the final
+detection (reference: trace.py:2735-2741 note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import units as u
+from ..callback import EmptyEventCallback, TraceEventCallback
+from ..component import Component, TraceConfig
+from ..light import LightSource, WavelengthSource
+from ..material import Medium, medium_constants
+from ..lookup import lookup
+from ..ops.sampling import scatter_dir
+from ..random import PhiloxRNG, RNGState
+from ..target import Target
+from .core import (
+    EventResultCode,
+    PropagateParams,
+    RayState,
+    create_hit,
+    propagate_ray,
+    sample_scatter_dir_medium,
+    sample_scatter_length,
+    scatter_ray_is,
+    update_ray_is,
+)
+from .scene import SceneForwardTracer
+
+if TYPE_CHECKING:
+    from ..response import HitResponse
+
+__all__ = ["VolumePhotonTracer", "ScenePhotonTracer"]
+
+
+def _merge_dim(after: RNGState, before: RNGState, take_after) -> RNGState:
+    return replace(before, dim=jnp.where(take_after, after.dim, before.dim))
+
+
+def _sample_absorption(ray: RayState, alive, rng: RNGState):
+    """Russian roulette on the accumulated contribution; survivors reset
+    to contribution 1 (reference: tracer.volume.photon.common.glsl:88-104)."""
+    uu, rng_after = rng.uniform()
+    survive = ray.contrib > uu
+    rng = _merge_dim(rng_after, rng, alive)
+    new = replace(
+        ray,
+        lin_contrib=jnp.where(alive & survive, 1.0, ray.lin_contrib),
+        log_contrib=jnp.where(alive & survive, 0.0, ray.log_contrib),
+    )
+    return new, alive & survive, rng
+
+
+class VolumePhotonTracer(Component):
+    """Photon-resolved volume tracing against an analytic target
+    (reference: src/theia/trace.py:2671-2959)."""
+
+    name = "Volume Photon Tracer"
+    _param_names = ("objectId", "maxTime")
+
+    def __init__(
+        self,
+        batchSize: int,
+        source: LightSource,
+        target: Target,
+        wavelengthSource: WavelengthSource,
+        response: "HitResponse",
+        rng: PhiloxRNG,
+        *,
+        medium: Medium | None,
+        objectId: int = 0,
+        capacity: int | None = None,
+        callback: TraceEventCallback | None = None,
+        traceBBox: tuple = ((-1.0 * u.km,) * 3, (1.0 * u.km,) * 3),
+        maxTime: float = 1000.0 * u.ns,
+        nScatteringPerRun: int = 10,
+        nRuns: int = 10,
+        polarized: bool = False,
+    ) -> None:
+        self.batchSize = batchSize
+        self.capacity = batchSize if capacity is None else capacity
+        self.source = source
+        self.target = target
+        self.wavelengthSource = wavelengthSource
+        self.response = response
+        self.rng = rng
+        self.medium = medium
+        self.objectId = objectId
+        self.callback = EmptyEventCallback() if callback is None else callback
+        self.traceBBox = traceBBox
+        self.maxTime = maxTime
+        self.nScatteringPerRun = nScatteringPerRun
+        self.nRuns = nRuns
+        self.polarized = polarized
+        self.maxHitsPerThread = 1
+
+        # reference accounting (trace.py:2782-2785)
+        self._pre_dims = source.nRNGForward + wavelengthSource.nRNGSamples
+        self._per_run = 4 * nScatteringPerRun + response.nRNGSamples
+        self.nRNGSamples = (
+            self._pre_dims
+            + 4 * nRuns * nScatteringPerRun
+            + response.nRNGSamples
+        )
+        if rng.autoAdvance == 0:
+            rng.autoAdvance = self.nRNGSamples
+        self.normalization = 1.0 / batchSize
+        response.prepare(
+            TraceConfig(
+                batch_size=batchSize,
+                capacity=self.capacity,
+                max_hits_per_thread=nRuns,  # one response record per run
+                normalization=self.normalization,
+                polarized=polarized,
+            )
+        )
+        self._jit_trace = jax.jit(self._trace_batch)
+
+    def collectStages(self):
+        return [
+            ("photons", self.wavelengthSource),
+            ("lightSource", self.source),
+            ("target", self.target),
+            ("tracer", self),
+            ("callback", self.callback),
+            ("response", self.response),
+        ]
+
+    def params(self):
+        return {
+            "tracer": {
+                "maxTime": jnp.asarray(self.maxTime, jnp.float32),
+                "lowerBBox": jnp.asarray(self.traceBBox[0], jnp.float32),
+                "upperBBox": jnp.asarray(self.traceBBox[1], jnp.float32),
+                "objectId": jnp.asarray(self.objectId, jnp.int32),
+            },
+            "medium": self.medium,
+            "photons": self.wavelengthSource.params(),
+            "lightSource": self.source.params(),
+            "target": self.target.params(),
+            "response": self.response.params(),
+            "callback": self.callback.params(),
+        }
+
+    def _trace_batch(self, p, counter, streams):
+        medium = p["medium"]
+        lo = p["tracer"]["lowerBBox"]
+        hi = p["tracer"]["upperBBox"]
+        prop = PropagateParams(
+            scatter_coefficient=jnp.float32(float("nan")),
+            lower_bbox=lo,
+            upper_bbox=hi,
+            max_time=p["tracer"]["maxTime"],
+            max_dist=jnp.linalg.norm(hi - lo),
+        )
+        rng = RNGState(
+            key=self.rng.key_words,
+            counter=counter,
+            stream=streams,
+            dim=jnp.zeros_like(streams),
+        )
+
+        (lam, _), rng = self.wavelengthSource.sample(p["photons"], rng)
+        constants = medium_constants(medium, lam)
+        src, rng = self.source.sample_forward(p["lightSource"], lam, constants, rng)
+        # photon mode: contribution tracks survival probability only
+        ray = RayState(
+            position=src.position,
+            direction=src.direction,
+            wavelength=lam,
+            time=src.start_time,
+            lin_contrib=jnp.ones_like(lam),
+            log_contrib=jnp.zeros_like(lam),
+            constants=constants,
+        )
+        resp_state = self.response.init()
+        n_steps = self.nRuns * self.nScatteringPerRun
+        cb_state = self.callback.init(streams.shape[0], n_steps + 2)
+        all_lanes = jnp.ones_like(streams, dtype=bool)
+        cb_state = self.callback.on_event(
+            p["callback"],
+            cb_state,
+            ray,
+            jnp.full_like(streams, int(EventResultCode.RAY_CREATED), jnp.int32),
+            all_lanes,
+            0,
+        )
+        occluded = self.target.occluded(p["target"], ray.position)
+        cb_state = self.callback.on_event(
+            p["callback"],
+            cb_state,
+            ray,
+            jnp.full_like(
+                streams, int(EventResultCode.ERROR_TRACE_ABORT), jnp.int32
+            ),
+            occluded,
+            0,
+        )
+        alive = ~occluded & ~ray.is_bad()
+
+        def body(i, carry):
+            ray, alive, rng, resp_state, cb_state = carry
+            pre_alive = alive
+            # run-boundary dim resync (the reference's relaunch push.dim)
+            run = i // self.nScatteringPerRun
+            at_boundary = (i % self.nScatteringPerRun) == 0
+            base = self._pre_dims + run * self._per_run
+            rng = replace(
+                rng,
+                dim=jnp.where(
+                    at_boundary,
+                    jnp.uint32(base),
+                    rng.dim,
+                ),
+            )
+
+            # trace (tracer.volume.photon.common.glsl:37-79)
+            uu, rng = rng.uniform()
+            dist = sample_scatter_length(ray, prop, uu)
+            hit = self.target.intersect(p["target"], ray.position, ray.direction)
+            hit_valid = hit.valid & (hit.dist <= dist)
+            dist = jnp.minimum(hit.dist, dist)
+            ray, code = propagate_ray(ray, dist, prop)
+            ray = update_ray_is(ray, dist, prop, hit_valid)
+            in_bounds = code >= 0
+
+            item = create_hit(
+                ray,
+                hit.obj_position,
+                hit.obj_normal,
+                p["tracer"]["objectId"],
+                hit.world_to_obj,
+            )
+            detect = pre_alive & in_bounds & hit_valid & (item.contrib > 0.0)
+            rng_b = rng
+            resp_state, rng = self.response.record(
+                p["response"], resp_state, item, detect, rng
+            )
+            rng = _merge_dim(rng, rng_b, detect)
+            # a detected photon is absorbed (no double counting)
+            code = jnp.where(
+                in_bounds & hit_valid,
+                jnp.int32(EventResultCode.RAY_ABSORBED),
+                jnp.where(
+                    in_bounds, jnp.int32(EventResultCode.RAY_SCATTERED), code
+                ),
+            )
+            step_ok = pre_alive & in_bounds & ~hit_valid
+
+            # scatter (unconditional draw like the reference)
+            (u1, u2), rng = rng.uniform2d()
+            cos_theta, phi, _ = sample_scatter_dir_medium(
+                medium, ray.direction, ray.wavelength, u1, u2
+            )
+            new_dir = scatter_dir(
+                ray.direction, lax.stop_gradient(cos_theta), phi
+            )
+            scattered = scatter_ray_is(ray, new_dir)
+            if medium is not None and medium.log_phase_function is not None:
+                log_p = lookup(
+                    medium.log_phase_function,
+                    0.5 * (lax.stop_gradient(cos_theta) + 1.0),
+                )
+                scattered = replace(
+                    scattered,
+                    log_contrib=scattered.log_contrib
+                    + log_p
+                    - lax.stop_gradient(log_p),
+                )
+            ray = jax.tree.map(
+                lambda new, old: jnp.where(
+                    step_ok.reshape(
+                        step_ok.shape + (1,) * (new.ndim - step_ok.ndim)
+                    ),
+                    new,
+                    old,
+                ),
+                scattered,
+                ray,
+            )
+
+            # Russian-roulette absorption
+            ray, survive, rng = _sample_absorption(ray, step_ok, rng)
+            code = jnp.where(
+                step_ok & ~survive,
+                jnp.int32(EventResultCode.RAY_ABSORBED),
+                code,
+            )
+            alive = step_ok & survive
+            cb_state = self.callback.on_event(
+                p["callback"], cb_state, ray, code, pre_alive, i + 1
+            )
+            return ray, alive, rng, resp_state, cb_state
+
+        carry = (ray, alive, rng, resp_state, cb_state)
+        ray, alive, rng, resp_state, cb_state = lax.fori_loop(
+            0, n_steps, body, carry
+        )
+        cb_state = self.callback.on_event(
+            p["callback"],
+            cb_state,
+            ray,
+            jnp.full_like(streams, int(EventResultCode.MAX_ITER), jnp.int32),
+            alive,
+            n_steps + 1,
+        )
+        return resp_state, cb_state
+
+    def run(self, params=None, *, advance: bool = True):
+        p = self.params() if params is None else params
+        streams = jnp.arange(self.batchSize, dtype=jnp.uint32)
+        counter = self.rng.counter_words
+        resp_state, cb_state = self._jit_trace(p, counter, streams)
+        if advance:
+            self.rng.advance()
+        return (
+            self.response.result(p["response"], resp_state),
+            self.callback.result(p["callback"], cb_state),
+        )
+
+    def trace_fn(self):
+        return self._trace_batch, (
+            self.params(),
+            self.rng.counter_words,
+            jnp.arange(self.batchSize, dtype=jnp.uint32),
+        )
+
+
+class ScenePhotonTracer(SceneForwardTracer):
+    """Photon-resolved scene tracing: SceneForwardTracer's surface physics
+    with Russian-roulette absorption, no MIS, responses always allowed
+    (reference: src/theia/trace.py:2370-2668,
+    shader/tracer.scene.photon.loop.glsl)."""
+
+    name = "Scene Photon Tracer"
+
+    def __init__(
+        self,
+        batchSize: int,
+        source: LightSource,
+        wavelengthSource: WavelengthSource,
+        response: "HitResponse",
+        rng: PhiloxRNG,
+        scene,
+        *,
+        nScatteringPerRun: int = 10,
+        nRuns: int = 10,
+        **kwargs,
+    ) -> None:
+        kwargs.pop("targetGuide", None)
+        kwargs.pop("maxPathLength", None)
+        self.nScatteringPerRun = nScatteringPerRun
+        self.nRuns = nRuns
+        self._photon_mode = True
+        super().__init__(
+            batchSize,
+            source,
+            wavelengthSource,
+            response,
+            rng,
+            scene,
+            maxPathLength=nRuns * nScatteringPerRun,
+            targetGuide=None,
+            disableDirectLighting=False,
+            **kwargs,
+        )
+
+    # photon mode hooks consumed by SceneForwardTracer._trace_batch
+    def _photon_init_contrib(self, lam):
+        return jnp.ones_like(lam)
+
+    def _photon_absorb(self, ray, alive, rng):
+        return _sample_absorption(ray, alive, rng)

@@ -128,6 +128,8 @@ class SceneForwardTracer(Component):
         self.disableTransmission = disableTransmission
         self.disableVolumeBorder = disableVolumeBorder
         self.useRefractedHitDir = useRefractedHitDir
+        # ScenePhotonTracer sets this before calling super().__init__
+        self._photon_mode = getattr(self, "_photon_mode", False)
 
         # reference accounting (src/theia/trace.py:1185-1196)
         maxHits = maxPathLength - 1
@@ -335,12 +337,15 @@ class SceneForwardTracer(Component):
         )
         constants = packed_medium_constants(pack.media, src_medium, lam)
         src, rng = self.source.sample_forward(p["lightSource"], lam, constants, rng)
+        init_lin = (
+            jnp.ones_like(lam) if self._photon_mode else src.contrib * lam_contrib
+        )
         ray = RayState(
             position=src.position,
             direction=src.direction,
             wavelength=lam,
             time=src.start_time,
-            lin_contrib=src.contrib * lam_contrib,
+            lin_contrib=init_lin,
             log_contrib=jnp.zeros_like(lam),
             constants=constants,
         )
@@ -627,6 +632,23 @@ class SceneForwardTracer(Component):
                 absorbed_surf, jnp.int32(EventResultCode.RAY_ABSORBED), code
             )
             alive = pre_alive & (code >= 0) & ~absorbed_surf
+            if self._photon_mode:
+                # Russian-roulette absorption per segment; run-boundary RNG
+                # resync happens implicitly (no MIS -> fixed draws/segment)
+                u_abs, rng_a = rng.uniform()
+                survive = ray.contrib > u_abs
+                rng = _merge_dim(rng_a, rng, alive)
+                ray = replace(
+                    ray,
+                    lin_contrib=jnp.where(alive & survive, 1.0, ray.lin_contrib),
+                    log_contrib=jnp.where(alive & survive, 0.0, ray.log_contrib),
+                )
+                code = jnp.where(
+                    alive & ~survive,
+                    jnp.int32(EventResultCode.RAY_ABSORBED),
+                    code,
+                )
+                alive = alive & survive
             cb_state = self.callback.on_event(
                 p["callback"], cb_state, ray, code, pre_alive, i + 1
             )
