@@ -178,3 +178,66 @@ def test_histogram_matches_recorder():
     )
     # device accumulates in float32 -> summation-order differences
     assert np.allclose(np.asarray(hist), expected, rtol=2e-3, atol=1e-8)
+
+
+def test_polarized_energy_and_stokes():
+    """Polarized transport must conserve energy (same totals) and produce
+    valid normalized Stokes vectors (reference: test_trace_energy.py
+    polarized rows; test_trace.py:90-212 Stokes checks)."""
+    from theia_tpu.material import KokhanovskyOceanWaterPhaseMatrix
+
+    class PolModel(
+        DispersionFreeMedium,
+        HenyeyGreensteinPhaseFunction,
+        KokhanovskyOceanWaterPhaseMatrix,
+        MediumModel,
+    ):
+        ModelName = "pol"
+
+        def __init__(self):
+            DispersionFreeMedium.__init__(self, n=1.33, ng=1.33, mu_a=0.0, mu_s=0.005)
+            HenyeyGreensteinPhaseFunction.__init__(self, 0.3)
+            KokhanovskyOceanWaterPhaseMatrix.__init__(
+                self, p90=0.66, theta0=0.25, alpha=4.0, xi=25.6
+            )
+
+    medium = PolModel().createMedium()
+    position = (12.0, 15.0, 0.2)
+    batch, n_batches = 32 * 1024, 2
+
+    def run(polarized):
+        rng = PhiloxRNG(key=0xC0FFEE)
+        rec = HitRecorder()
+        tracer = VolumeForwardTracer(
+            batch,
+            SphericalLightSource(position=position, timeRange=(10.0, 10.0), budget=1e9),
+            InnerSphereTarget(position=position, radius=100.0),
+            UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+            rec,
+            rng,
+            medium=medium,
+            nScattering=10,
+            scatterCoefficient=0.05,
+            maxTime=float("inf"),
+            polarized=polarized,
+        )
+        total, stokes = 0.0, []
+        for _ in range(n_batches):
+            hits, _ = tracer.run()
+            v = np.asarray(hits["valid"])
+            total += np.asarray(hits["contrib"])[v].sum()
+            if polarized:
+                stokes.append(np.asarray(hits["stokes"])[v])
+        return total / (batch * n_batches), stokes
+
+    est_u, _ = run(False)
+    est_p, stokes = run(True)
+    # identical RNG streams: polarization must not change the energy beyond
+    # Mueller-matrix float noise
+    assert np.abs(est_p / est_u - 1.0) < 1e-3
+    s = np.concatenate(stokes)
+    assert np.abs(s[:, 0] - 1.0).max() < 1e-5
+    assert s[:, 1:].max() <= 1.0 + 1e-6 and s[:, 1:].min() >= -1.0 - 1e-6
+    assert np.all(np.square(s[:, 1:]).sum(-1) <= 1.0 + 1e-5)
+    # scattering must actually polarize some photons
+    assert np.abs(s[:, 1]).max() > 0.01

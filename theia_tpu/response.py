@@ -225,7 +225,7 @@ class HitRecorder(HitResponse):
 
     def init(self):
         n = self._capacity
-        return dict(
+        state = dict(
             cursor=jnp.int32(0),  # traced: record() runs inside lax loops
             position=jnp.zeros((n, 3), jnp.float32),
             direction=jnp.zeros((n, 3), jnp.float32),
@@ -236,6 +236,10 @@ class HitRecorder(HitResponse):
             objectId=jnp.zeros(n, jnp.int32),
             valid=jnp.zeros(n, bool),
         )
+        if self._config.polarized:
+            state["stokes"] = jnp.zeros((n, 4), jnp.float32)
+            state["polRef"] = jnp.zeros((n, 3), jnp.float32)
+        return state
 
     def record(self, params, state, item: HitItem, mask, rng: RNGState):
         # compact accepted lanes to the cursor (the atomic-counter queue
@@ -247,7 +251,7 @@ class HitRecorder(HitResponse):
         def upd(buf, val):
             return buf.at[slot].set(val, mode="drop")
 
-        state = dict(
+        new_state = dict(
             cursor=jnp.minimum(
                 c + jnp.sum(mask.astype(jnp.int32)), self._capacity
             ),
@@ -260,7 +264,10 @@ class HitRecorder(HitResponse):
             objectId=upd(state["objectId"], item.object_id),
             valid=upd(state["valid"], mask),
         )
-        return state, rng
+        if "stokes" in state:
+            new_state["stokes"] = upd(state["stokes"], item.stokes)
+            new_state["polRef"] = upd(state["polRef"], item.pol_ref)
+        return new_state, rng
 
 
 class StoreTimeHitResponse(HitResponse):

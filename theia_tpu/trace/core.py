@@ -293,7 +293,8 @@ def scatter_ray_sampled(
 @dataclass(frozen=True)
 class HitItem:
     """Detector hit in object space
-    (reference: src/theia/shader/response.common.glsl:4-20)."""
+    (reference: src/theia/shader/response.common.glsl:4-20).
+    ``stokes``/``pol_ref`` present only in polarized mode."""
 
     position: jax.Array  # f32[N,3] object space
     direction: jax.Array  # f32[N,3] object space
@@ -302,6 +303,8 @@ class HitItem:
     time: jax.Array  # f32[N]
     contrib: jax.Array  # f32[N]
     object_id: jax.Array  # i32[N]
+    stokes: jax.Array | None = None  # f32[N,4] normalized
+    pol_ref: jax.Array | None = None  # f32[N,3] object space
 
 
 def create_hit(
@@ -310,9 +313,14 @@ def create_hit(
     obj_normal: jax.Array,
     object_id,
     world_to_obj: jax.Array | None = None,
+    pol: tuple[jax.Array, jax.Array] | None = None,
 ) -> HitItem:
     """Build a HitItem from the ray's current state
-    (reference: src/theia/shader/ray.response.glsl:66-92)."""
+    (reference: src/theia/shader/ray.response.glsl:18-92).
+
+    ``pol=(stokes, pol_ref)`` in world space enables the polarized variant:
+    the reference frame is transformed to object space, aligned to the
+    plane of incidence, and S0 is folded into the contribution."""
     if world_to_obj is None:
         obj_dir = ray.direction
     else:
@@ -322,12 +330,35 @@ def create_hit(
     object_id = jnp.broadcast_to(
         jnp.asarray(object_id, jnp.int32), ray.wavelength.shape
     )
+    contrib = ray.contrib
+    stokes = pol_ref = None
+    if pol is not None:
+        from ..ops.math3d import perpendicular_to2
+        from ..polarization import apply_rotation, rotation_coeffs
+
+        w_stokes, w_ref = pol
+        hit_pol_ref = perpendicular_to2(obj_dir, obj_normal)
+        if world_to_obj is None:
+            obj_pol_ref = w_ref
+        else:
+            obj_pol_ref = normalize(
+                jnp.einsum("...ij,...j->...i", world_to_obj, w_ref)
+            )
+        c, s = rotation_coeffs(obj_dir, obj_pol_ref, hit_pol_ref)
+        stokes = apply_rotation(w_stokes, c, s)
+        s0 = stokes[..., 0]
+        contrib = contrib * s0
+        safe = jnp.where(s0 != 0.0, s0, 1.0)
+        stokes = stokes / safe[..., None]
+        pol_ref = hit_pol_ref
     return HitItem(
         position=obj_pos,
         direction=obj_dir,
         normal=obj_normal,
         wavelength=ray.wavelength,
         time=ray.time,
-        contrib=ray.contrib,
+        contrib=contrib,
         object_id=object_id,
+        stokes=stokes,
+        pol_ref=pol_ref,
     )

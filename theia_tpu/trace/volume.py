@@ -37,6 +37,14 @@ from ..material import Medium, medium_constants
 from ..lookup import lookup
 from ..ops.math3d import dot, normalize
 from ..ops.sampling import scatter_dir
+from ..ops.math3d import local_frame
+from ..polarization import (
+    apply_phase_matrix,
+    apply_rotation,
+    phase_matrix_elements,
+    rotate_pol_ref,
+    unpolarized_stokes,
+)
 from ..random import PhiloxRNG, RNGState
 from ..target import Target, TargetSample
 
@@ -81,6 +89,27 @@ def _log_phase(medium: Medium | None, cos_theta):
     if medium is None or medium.log_phase_function is None:
         return None
     return lookup(medium.log_phase_function, 0.5 * (cos_theta + 1.0))
+
+
+def _pol_scatter(medium, direction, new_dir, pol):
+    """Polarized scatter: rotate the frame into the scattering plane and
+    apply the Mueller phase matrix (reference: ray.scatter.glsl:50-62)."""
+    stokes, pol_ref = pol
+    cos_theta = dot(direction, new_dir)
+    m12, m22, m33, m34 = phase_matrix_elements(medium, cos_theta)
+    new_ref, c, s = rotate_pol_ref(direction, pol_ref, new_dir)
+    stokes = apply_phase_matrix(
+        apply_rotation(stokes, c, s), m12, m22, m33, m34
+    )
+    return stokes, new_ref
+
+
+def _pol_align(direction, pol, hit_normal):
+    """Rotate the frame into the plane of incidence
+    (reference: ray.propagate.glsl alignRayToHit)."""
+    stokes, pol_ref = pol
+    new_ref, c, s = rotate_pol_ref(direction, pol_ref, hit_normal)
+    return apply_rotation(stokes, c, s), new_ref
 
 
 class VolumeForwardTracer(Component):
@@ -224,13 +253,19 @@ class VolumeForwardTracer(Component):
         mask,
         rng: RNGState,
         prop: PropagateParams,
+        medium=None,
+        pol=None,
     ):
         """Propagate a (copy of the) ray to a target sample and record the
         response (reference: tracer.volume.forward.glsl:50-80). Returns
         (resp_state, rng, accepted_mask)."""
         valid = mask & hit.valid
+        if pol is not None and scattered:
+            pol = _pol_scatter(medium, ray.direction, direction, pol)
         if scattered:
             ray = scatter_ray_is(ray, direction)
+        if pol is not None:
+            pol = _pol_align(direction if scattered else ray.direction, pol, hit.normal)
         ray, code = propagate_ray_to_hit(ray, hit.position, prop)
         valid &= code >= 0
         ray = replace(
@@ -250,6 +285,7 @@ class VolumeForwardTracer(Component):
             hit.obj_normal,
             p["tracer"]["objectId"],
             hit.world_to_obj,
+            pol=pol,
         )
         valid &= item.contrib > 0.0
         rng_after = rng
@@ -260,7 +296,8 @@ class VolumeForwardTracer(Component):
         return resp_state, rng
 
     def _trace_step(
-        self, p, prop, medium, ray, alive, rng, resp_state, allow_response: bool
+        self, p, prop, medium, ray, alive, rng, resp_state, allow_response: bool,
+        pol=None,
     ):
         """One path segment (reference: tracer.volume.forward.glsl:152-211).
         Returns (ray, alive, rng, resp_state, code)."""
@@ -289,12 +326,18 @@ class VolumeForwardTracer(Component):
         hit_item = None
         if allow_response:
             hit_ray = ray
+            hit_pol = (
+                _pol_align(ray.direction, pol, hit.normal)
+                if pol is not None
+                else None
+            )
             item = create_hit(
                 hit_ray,
                 hit.obj_position,
                 hit.obj_normal,
                 p["tracer"]["objectId"],
                 hit.world_to_obj,
+                pol=hit_pol,
             )
             hit_mask = alive & in_bounds & hit_valid & (item.contrib > 0.0)
             hit_item = (item, hit_mask)
@@ -353,6 +396,8 @@ class VolumeForwardTracer(Component):
                 mis_mask,
                 rng,
                 prop,
+                medium=medium,
+                pol=pol,
             )
             # record B: the target-sampled candidate
             resp_state, rng = self._create_response(
@@ -367,6 +412,8 @@ class VolumeForwardTracer(Component):
                 mis_mask,
                 rng,
                 prop,
+                medium=medium,
+                pol=pol,
             )
             # lanes that hit (or died) did not consume the MIS draws
             rng = _merge_dim(rng, rng_before, mis_mask)
@@ -382,7 +429,7 @@ class VolumeForwardTracer(Component):
             mis_mask, jnp.int32(EventResultCode.RAY_SCATTERED), code
         )
         alive = alive & (code >= 0) & ~(in_bounds & hit_valid)
-        return ray, alive, rng, resp_state, code
+        return ray, alive, rng, resp_state, code, pol
 
     def _trace_batch(self, p, counter, streams):
         """The full jitted batch: sample -> first segment -> scan segments.
@@ -413,6 +460,22 @@ class VolumeForwardTracer(Component):
             log_contrib=jnp.zeros_like(lam),
             constants=constants,
         )
+        if self.polarized:
+            # unpolarized sources get a frame from the local basis
+            # (reference: lightsource.common.glsl createSourceRay)
+            stokes = (
+                src.stokes
+                if src.stokes is not None
+                else unpolarized_stokes(lam.shape)
+            )
+            pol_ref = (
+                src.pol_ref
+                if src.pol_ref is not None
+                else local_frame(src.direction)[0]
+            )
+            pol = (stokes, pol_ref)
+        else:
+            pol = None
 
         resp_state = self.response.init()
         cb_state = self.callback.init(streams.shape[0], self.pathLength + 3)
@@ -455,6 +518,8 @@ class VolumeForwardTracer(Component):
                 alive,
                 rng,
                 prop,
+                medium=medium,
+                pol=pol,
             )
 
         # first trace: may respond directly only if there is no MIS
@@ -462,8 +527,8 @@ class VolumeForwardTracer(Component):
         # unscattered segment was already handled by the extension above)
         first_allow = (not mis) and direct
         pre_alive = alive
-        ray, alive, rng, resp_state, code = self._trace_step(
-            p, prop, medium, ray, alive, rng, resp_state, first_allow
+        ray, alive, rng, resp_state, code, pol = self._trace_step(
+            p, prop, medium, ray, alive, rng, resp_state, first_allow, pol
         )
         cb_state = self.callback.on_event(
             p["callback"], cb_state, ray, code, pre_alive, 1
@@ -472,7 +537,11 @@ class VolumeForwardTracer(Component):
         allow_in_loop = not mis
 
         def body(i, carry):
-            ray, alive, rng, resp_state, cb_state = carry
+            if self.polarized:
+                ray, alive, rng, resp_state, cb_state, pol = carry
+            else:
+                ray, alive, rng, resp_state, cb_state = carry
+                pol = None
             pre_alive = alive
             # scatter (2 draws), then trace
             rng_b = rng
@@ -483,6 +552,14 @@ class VolumeForwardTracer(Component):
             new_dir = scatter_dir(
                 ray.direction, lax.stop_gradient(cos_theta), phi
             )
+            if pol is not None:
+                new_stokes, new_ref = _pol_scatter(
+                    medium, ray.direction, new_dir, pol
+                )
+                pol = (
+                    jnp.where(alive[..., None], new_stokes, pol[0]),
+                    jnp.where(alive[..., None], new_ref, pol[1]),
+                )
             scattered = scatter_ray_is(ray, new_dir)
             log_p = _log_phase(medium, lax.stop_gradient(cos_theta))
             if log_p is not None:
@@ -503,20 +580,27 @@ class VolumeForwardTracer(Component):
             )
             rng = _merge_dim(rng, rng_b, alive)
 
-            ray, alive, rng, resp_state, code = self._trace_step(
-                p, prop, medium, ray, alive, rng, resp_state, allow_in_loop
+            ray, alive, rng, resp_state, code, pol = self._trace_step(
+                p, prop, medium, ray, alive, rng, resp_state, allow_in_loop, pol
             )
             cb_state = self.callback.on_event(
                 p["callback"], cb_state, ray, code, pre_alive, i + 2
             )
+            if self.polarized:
+                return ray, alive, rng, resp_state, cb_state, pol
             return ray, alive, rng, resp_state, cb_state
 
-        ray, alive, rng, resp_state, cb_state = lax.fori_loop(
-            0,
-            self.pathLength,
-            body,
-            (ray, alive, rng, resp_state, cb_state),
-        )
+        if self.polarized:
+            carry = (ray, alive, rng, resp_state, cb_state, pol)
+            out = lax.fori_loop(0, self.pathLength, body, carry)
+            ray, alive, rng, resp_state, cb_state, pol = out
+        else:
+            ray, alive, rng, resp_state, cb_state = lax.fori_loop(
+                0,
+                self.pathLength,
+                body,
+                (ray, alive, rng, resp_state, cb_state),
+            )
         cb_state = self.callback.on_event(
             p["callback"],
             cb_state,
