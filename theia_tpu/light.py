@@ -384,3 +384,453 @@ class HostLightSource(LightSource):
             ),
             rng,
         )
+
+
+# ---------------------------------------------------------------------------
+# Cherenkov / particle light sources
+# ---------------------------------------------------------------------------
+
+#: fine structure constant
+_ALPHA = 7.2973525693e-3
+
+
+def frankTamm(wavelength, refractiveIndex, beta: float = 1.0):
+    """Frank-Tamm photon yield d^2N/(dx dlam) in [1/m 1/nm]
+    (reference: src/theia/light.py:1667-1687)."""
+    lam = np.asarray(wavelength) / u.nm
+    n = beta * np.asarray(refractiveIndex)
+    return 2.0 * np.pi * _ALPHA / lam**2 * (1.0 - 1.0 / n**2) * 1e9
+
+
+def _frank_tamm_photons(n, lam):
+    """Device Frank-Tamm, photon-count units
+    (reference: shader/lightsource.particles.common.glsl:52-62)."""
+    lam_um = lam * 1e-3
+    res = (
+        jnp.float32(2.0 * np.pi * 7.2973525693)
+        / (lam_um * lam_um)
+        * (1.0 - 1.0 / (n * n))
+    )
+    return jnp.maximum(res, 0.0)
+
+
+def _frank_tamm_energy(n, lam):
+    """Device Frank-Tamm in eV/(m nm), radial
+    (reference: shader/lightsource.cherenkov.common.glsl:6-23)."""
+    lam_um = lam * 1e-3
+    res = (
+        jnp.float32(9.04756408986352)
+        / (lam_um * lam_um * lam_um)
+        * (1.0 - 1.0 / (n * n))
+    )
+    return jnp.maximum(res, 0.0)
+
+
+def _rotate_to(axis, local):
+    vx, vy = local_frame(axis)
+    return (
+        local[..., 0:1] * vx + local[..., 1:2] * vy + local[..., 2:3] * axis
+    )
+
+
+class CherenkovLightSource(LightSource):
+    """Cherenkov light from a straight particle track at beta = 1
+    (reference: src/theia/light.py:1183-1271,
+    shader/lightsource.cherenkov.simple.glsl)."""
+
+    name = "Cherenkov Light Source"
+    supportForward = True
+    supportBackward = True
+    nRNGForward = 2
+    nRNGBackward = 0
+    _param_names = ("trackStart", "trackEnd", "startTime", "endTime")
+    _extra_names = ("usePhotonCount",)
+
+    def __init__(
+        self,
+        *,
+        trackStart=(0.0, 0.0, 0.0),
+        trackEnd=(100.0, 0.0, 0.0),
+        startTime: float = 0.0,
+        endTime: float = 100.0 / u.c,
+        usePhotonCount: bool = False,
+    ) -> None:
+        self.trackStart = trackStart
+        self.trackEnd = trackEnd
+        self.startTime = startTime
+        self.endTime = endTime
+        self.usePhotonCount = usePhotonCount
+
+    def _ft(self, n, lam):
+        return (
+            _frank_tamm_photons(n, lam) / jnp.float32(2.0 * np.pi)
+            if self.usePhotonCount
+            else _frank_tamm_energy(n, lam)
+        )
+
+    def _track(self, params, shape):
+        start = jnp.broadcast_to(params["trackStart"], (*shape, 3))
+        end = jnp.broadcast_to(params["trackEnd"], (*shape, 3))
+        d = end - start
+        dist = jnp.sqrt(jnp.maximum(dot(d, d), 1e-30))
+        return start, end, d / dist[..., None], dist
+
+    def sample_forward(self, params, wavelength, constants, rng: RNGState):
+        shape = rng.stream.shape
+        start, end, track_dir, track_dist = self._track(params, shape)
+        uu, rng = rng.uniform()
+        position = start * (1.0 - uu[..., None]) + end * uu[..., None]
+        t0, t1 = params["startTime"], params["endTime"]
+        start_time = t0 * (1.0 - uu) + t1 * uu
+
+        contrib = (
+            jnp.float32(2.0 * np.pi)
+            * self._ft(constants.n, wavelength)
+            * track_dist
+        )
+        cos_theta = 1.0 / constants.n
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+        phi, rng2 = rng.uniform()
+        rng = rng2
+        phi = jnp.float32(2.0 * np.pi) * phi
+        local = vec3(
+            sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta
+        )
+        ray_dir = _rotate_to(track_dir, local)
+        pol_ref = normalize(jnp.cross(ray_dir, track_dir))
+        stokes = jnp.zeros((*shape, 4), jnp.float32)
+        stokes = stokes.at[..., 0].set(1.0).at[..., 1].set(1.0)
+        return (
+            SourceRay(position, ray_dir, start_time, contrib, stokes, pol_ref),
+            rng,
+        )
+
+    def sample_backward(self, params, observer, normal, wavelength, constants, rng):
+        shape = observer.shape[:-1]
+        start, end, track_dir, track_dist = self._track(params, shape)
+        cos_theta = 1.0 / constants.n
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+        mu = dot(observer - start, track_dir)
+        c_point = start + mu[..., None] * track_dir
+        d = distance(observer, c_point)
+        mu = mu - cos_theta / jnp.maximum(sin_theta, 1e-7) * d
+        position = start + mu[..., None] * track_dir
+        ray_dir = normalize(observer - position)
+        uu = mu / track_dist
+        t0, t1 = params["startTime"], params["endTime"]
+        start_time = t0 * (1.0 - uu) + t1 * uu
+
+        contrib = self._ft(constants.n, wavelength)
+        is_zero = dot(normal, normal) == 0.0
+        cos_nrm = jnp.where(is_zero, 1.0, dot(ray_dir, normal))
+        cos_nrm = jnp.maximum(cos_nrm, 0.0)
+        contrib = contrib * cos_nrm / jnp.maximum(d, 1e-30)
+        contrib = contrib * ((mu >= 0.0) & (mu <= track_dist)).astype(jnp.float32)
+        pol_ref = normalize(jnp.cross(ray_dir, track_dir))
+        stokes = jnp.zeros((*shape, 4), jnp.float32)
+        stokes = stokes.at[..., 0].set(1.0).at[..., 1].set(1.0)
+        return (
+            SourceRay(position, ray_dir, start_time, contrib, stokes, pol_ref),
+            rng,
+        )
+
+
+class ParticleTrack:
+    """Particle track as (L, 4) [x, y, z, t] vertex array
+    (reference: src/theia/light.py:1274-1352 — device tensor + length
+    header; here a plain array in the params pytree)."""
+
+    def __init__(self, vertices) -> None:
+        self.vertices = np.asarray(vertices, np.float32)
+        if self.vertices.ndim != 2 or self.vertices.shape[1] != 4:
+            raise ValueError("track vertices must have shape (L, 4)")
+
+    def setVertices(self, vertices) -> None:
+        self.vertices = np.asarray(vertices, np.float32)
+
+    @property
+    def length(self) -> int:
+        return len(self.vertices)
+
+
+class CherenkovTrackLightSource(LightSource):
+    """Cherenkov light from an arbitrary particle track (beta = 1)
+    (reference: src/theia/light.py:1355-1410,
+    shader/lightsource.cherenkov.track.glsl)."""
+
+    name = "Cherenkov Track Light Source"
+    supportForward = True
+    supportBackward = False
+    nRNGForward = 2
+    _param_names = ("track",)
+    _extra_names = ("usePhotonCount",)
+
+    def __init__(self, track: ParticleTrack | None = None, *, usePhotonCount: bool = False):
+        self.track = track
+        self.usePhotonCount = usePhotonCount
+
+    def params(self):
+        return {"track": jnp.asarray(self.track.vertices)}
+
+    def sample_forward(self, params, wavelength, constants, rng: RNGState):
+        track = params["track"]  # (L, 4)
+        n_seg = track.shape[0] - 1
+        uu, rng = rng.uniform()
+        uu = uu * n_seg
+        seg = jnp.minimum(jnp.floor(uu).astype(jnp.int32), n_seg - 1)
+        frac = uu - jnp.floor(uu)
+        v0 = jnp.take(track, seg, axis=0)
+        v1 = jnp.take(track, seg + 1, axis=0)
+        pos = v0[..., :3] * (1.0 - frac[..., None]) + v1[..., :3] * frac[..., None]
+        time = v0[..., 3] * (1.0 - frac) + v1[..., 3] * frac
+
+        cos_theta = 1.0 / constants.n
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+        phi, rng = rng.uniform()
+        phi = jnp.float32(2.0 * np.pi) * phi
+        local = vec3(
+            sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta
+        )
+        seg_vec = v1[..., :3] - v0[..., :3]
+        seg_len = jnp.sqrt(jnp.maximum(dot(seg_vec, seg_vec), 1e-30))
+        particle_dir = seg_vec / seg_len[..., None]
+        ray_dir = _rotate_to(particle_dir, local)
+
+        ft = (
+            _frank_tamm_photons(constants.n, wavelength) / jnp.float32(2.0 * np.pi)
+            if self.usePhotonCount
+            else _frank_tamm_energy(constants.n, wavelength)
+        )
+        contrib = jnp.float32(2.0 * np.pi) * n_seg * seg_len * ft
+        pol_ref = normalize(jnp.cross(ray_dir, particle_dir))
+        stokes = jnp.zeros((*time.shape, 4), jnp.float32)
+        stokes = stokes.at[..., 0].set(1.0).at[..., 1].set(1.0)
+        return SourceRay(pos, ray_dir, time, contrib, stokes, pol_ref), rng
+
+
+def _sample_emission_angle(n, a, b, uu):
+    """Sample the angular emission profile around the Cherenkov angle
+    (reference: shader/lightsource.particles.common.glsl:72-100)."""
+    cos_chev = 1.0 / n
+    int_lower = 1.0 - jnp.exp(-b * jnp.power(1.0 - cos_chev, a))
+    int_upper = 1.0 - jnp.exp(-b * jnp.power(1.0 + cos_chev, a))
+    uu = uu * (int_upper + int_lower) - int_lower
+    x = jnp.power(-jnp.log1p(-jnp.abs(uu)) / b, 1.0 / a)
+    return cos_chev - jnp.sign(uu) * x
+
+
+def _eval_emission_angle(n, a, b, cos_theta):
+    """Evaluate the angular emission pdf
+    (reference: shader/lightsource.particles.common.glsl:143-158)."""
+    cos_chev = 1.0 / n
+    norm = a * b
+    norm = norm / (
+        2.0
+        - jnp.exp(-b * jnp.power(1.0 - cos_chev, a))
+        - jnp.exp(-b * jnp.power(1.0 + cos_chev, a))
+    )
+    x = jnp.abs(cos_theta - cos_chev)
+    x = jnp.maximum(x, 1e-7)
+    return jnp.exp(-b * jnp.power(x, a)) * jnp.power(x, a - 1.0) * norm
+
+
+class MuonTrackLightSource(LightSource):
+    """Cherenkov light from a muon track plus its secondaries (<500 MeV)
+    after Raedel's parameterization (reference: src/theia/light.py:1413-1520,
+    shader/lightsource.particles.muon.glsl). Forward sampling only."""
+
+    name = "Muon Track Light Source"
+    supportForward = True
+    supportBackward = False  # the reference's IS backward is not yet built
+    nRNGForward = 3
+    _param_names = (
+        "startPosition",
+        "startTime",
+        "endPosition",
+        "endTime",
+        "_energyScale",
+        "_a_angular",
+        "_b_angular",
+    )
+    _extra_names = ("muonEnergy", "applyFrankTamm")
+
+    def __init__(
+        self,
+        startPosition=(0.0, 0.0, 0.0),
+        startTime: float = 0.0,
+        endPosition=(0.0, 0.0, 0.0),
+        endTime: float = 0.0,
+        muonEnergy: float = 1.0 * u.GeV,
+        applyFrankTamm: bool = True,
+    ) -> None:
+        self.startPosition = startPosition
+        self.startTime = startTime
+        self.endPosition = endPosition
+        self.endTime = endTime
+        self.applyFrankTamm = applyFrankTamm
+        self.muonEnergy = muonEnergy
+
+    @property
+    def muonEnergy(self) -> float:
+        return self._muonEnergy
+
+    @muonEnergy.setter
+    def muonEnergy(self, value: float) -> None:
+        self._muonEnergy = value
+        # secondary-particle light yield + angular fit
+        # (reference: src/theia/light.py:1506-1516,
+        #  notebooks/track_angular_dist_fit.ipynb)
+        self._energyScale = 1.1880 + 0.0206 * np.log(value)
+        self._a_angular = 0.86634 - 7.5624e-3 * np.log10(value)
+        self._b_angular = 2.5030 + 3.0533e-2 * np.log10(value)
+
+    def sample_forward(self, params, wavelength, constants, rng: RNGState):
+        shape = rng.stream.shape
+        start = jnp.broadcast_to(params["startPosition"], (*shape, 3))
+        end = jnp.broadcast_to(params["endPosition"], (*shape, 3))
+        uu, rng = rng.uniform()
+        position = start * (1.0 - uu[..., None]) + end * uu[..., None]
+        t0, t1 = params["startTime"], params["endTime"]
+        start_time = t0 * (1.0 - uu) + t1 * uu
+        d = end - start
+        track_dist = jnp.sqrt(jnp.maximum(dot(d, d), 1e-30))
+        contrib = track_dist * params["_energyScale"]
+
+        (v1, v2), rng = rng.uniform2d()
+        phi = jnp.float32(2.0 * np.pi) * v1
+        cos_theta = _sample_emission_angle(
+            constants.n, params["_a_angular"], params["_b_angular"], v2
+        )
+        track_dir = d / track_dist[..., None]
+        local = spherical_to_cartesian(phi, cos_theta)
+        ray_dir = _rotate_to(track_dir, local)
+        if self.applyFrankTamm:
+            contrib = contrib * _frank_tamm_photons(constants.n, wavelength)
+        return SourceRay(position, ray_dir, start_time, contrib), rng
+
+
+class ParticleCascadeLightSource(LightSource):
+    """Cherenkov light from EM/hadronic showers (Raedel parameterization):
+    gamma-distributed longitudinal profile + angular emission fit
+    (reference: src/theia/light.py:1522-1664,
+    shader/lightsource.particles.cascade.glsl)."""
+
+    name = "Particle Cascade Light Source"
+    supportForward = True
+    supportBackward = True
+    nRNGForward = 12  # gamma rejection: draw count is a loose upper bound
+    nRNGBackward = 10
+    _param_names = (
+        "startPosition",
+        "startTime",
+        "direction",
+        "effectiveLength",
+        "a_angular",
+        "b_angular",
+        "a_long",
+        "b_long",
+    )
+    _extra_names = ("applyFrankTamm",)
+
+    def __init__(
+        self,
+        startPosition=(0.0, 0.0, 0.0),
+        startTime: float = 0.0,
+        direction=(0.0, 0.0, 1.0),
+        effectiveLength: float = 1.0,
+        a_angular: float = 0.0,
+        b_angular: float = 0.0,
+        a_long: float = 0.0,
+        b_long: float = 0.0,
+        applyFrankTamm: bool = True,
+    ) -> None:
+        self.startPosition = startPosition
+        self.startTime = startTime
+        self.direction = direction
+        self.effectiveLength = effectiveLength
+        self.a_angular = a_angular
+        self.b_angular = b_angular
+        self.a_long = a_long
+        self.b_long = b_long
+        self.applyFrankTamm = applyFrankTamm
+
+    def _sample_z(self, params, rng):
+        from .ops.gamma import sample_gamma
+
+        z, rng = sample_gamma(params["a_long"], rng)
+        return jax.lax.stop_gradient(z) * params["b_long"], rng
+
+    def sample_forward(self, params, wavelength, constants, rng: RNGState):
+        shape = rng.stream.shape
+        z, rng = self._sample_z(params, rng)
+        axis = normalize(jnp.broadcast_to(params["direction"], (*shape, 3)))
+        pos = (
+            jnp.broadcast_to(params["startPosition"], (*shape, 3))
+            + z[..., None] * axis
+        )
+        time = params["startTime"] + z / jnp.float32(u.c)
+
+        (u1, u2), rng = rng.uniform2d()
+        phi = jnp.float32(2.0 * np.pi) * u1
+        cos_theta = _sample_emission_angle(
+            constants.n, params["a_angular"], params["b_angular"], u2
+        )
+        ray_dir = _rotate_to(axis, spherical_to_cartesian(phi, cos_theta))
+        contrib = jnp.broadcast_to(params["effectiveLength"], time.shape)
+        if self.applyFrankTamm:
+            contrib = contrib * _frank_tamm_photons(constants.n, wavelength)
+        return SourceRay(pos, ray_dir, time, contrib), rng
+
+    def sample_backward(self, params, observer, normal, wavelength, constants, rng):
+        shape = observer.shape[:-1]
+        z, rng = self._sample_z(params, rng)
+        axis = normalize(jnp.broadcast_to(params["direction"], (*shape, 3)))
+        pos = (
+            jnp.broadcast_to(params["startPosition"], (*shape, 3))
+            + z[..., None] * axis
+        )
+        time = params["startTime"] + z / jnp.float32(u.c)
+        ray_dir = normalize(observer - pos)
+        cos_theta = dot(axis, ray_dir)
+        contrib = _eval_emission_angle(
+            constants.n, params["a_angular"], params["b_angular"], cos_theta
+        )
+        contrib = contrib * jnp.float32(1.0 / (2.0 * np.pi))
+        contrib = contrib * dw_dA(pos, observer, normal)
+        contrib = contrib * params["effectiveLength"]
+        if self.applyFrankTamm:
+            contrib = contrib * _frank_tamm_photons(constants.n, wavelength)
+        return SourceRay(pos, ray_dir, time, contrib), rng
+
+
+class FunctionWavelengthSource(WavelengthSource):
+    """Importance sample a user distribution over wavelength via a
+    numerically inverted CDF table (reference: src/theia/light.py:351-414,
+    shader/wavelengthsource.function.glsl)."""
+
+    name = "Function Wavelength Source"
+    nRNGSamples = 1
+    _param_names = ("_table", "_contrib")
+
+    def __init__(self, fn, *, lambdaRange=(300.0, 700.0), numSamples: int = 1024):
+        from scipy.integrate import quad
+        from scipy.stats.sampling import NumericalInversePolynomial
+
+        contrib, _ = quad(fn, *lambdaRange)
+
+        class Dist:
+            def pdf(self, x):
+                return fn(x)
+
+        inv_cdf = NumericalInversePolynomial(Dist(), domain=lambdaRange)
+        uu = np.linspace(0.0, 1.0, numSamples)
+        self._table = inv_cdf.ppf(uu).astype(np.float32)
+        self._contrib = float(contrib)
+
+    def sample(self, params, rng: RNGState):
+        from .lookup import lookup
+
+        uu, rng = rng.uniform()
+        lam = lookup(params["_table"], uu)
+        contrib = jnp.broadcast_to(params["_contrib"], lam.shape)
+        return (lam, contrib), rng
