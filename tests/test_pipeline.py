@@ -1,0 +1,89 @@
+"""Pipeline/scheduler/task tests (model: reference tests/test_task.py)."""
+
+import numpy as np
+
+import theia_tpu.units as u
+from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+from theia_tpu.material import (
+    DispersionFreeMedium,
+    HenyeyGreensteinPhaseFunction,
+    MediumModel,
+)
+from theia_tpu.pipeline import (
+    ConvergeHistogramTask,
+    Pipeline,
+    PipelineScheduler,
+)
+from theia_tpu.random import PhiloxRNG
+from theia_tpu.response import HistogramHitResponse
+from theia_tpu.target import InnerSphereTarget
+from theia_tpu.trace import VolumeForwardTracer
+
+
+class Model(DispersionFreeMedium, HenyeyGreensteinPhaseFunction, MediumModel):
+    def __init__(self):
+        DispersionFreeMedium.__init__(self, n=1.33, ng=1.33, mu_a=0.005, mu_s=0.01)
+        HenyeyGreensteinPhaseFunction.__init__(self, 0.3)
+
+
+def build(batch=8 * 1024):
+    return VolumeForwardTracer(
+        batch,
+        SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e6),
+        InnerSphereTarget(position=(0.0, 0.0, 0.0), radius=50.0),
+        UniformWavelengthSource(lambdaRange=(400.0, 500.0)),
+        HistogramHitResponse(nBins=40, t0=0.0, binSize=20.0),
+        PhiloxRNG(key=0xC0FFEE),
+        medium=Model().createMedium(num_lambda=64, num_theta=64),
+        nScattering=6,
+        scatterCoefficient=0.02,
+    )
+
+
+def test_pipeline_param_addressing():
+    tracer = build()
+    pipe = Pipeline(tracer)
+    pipe.setParams({"lightSource__budget": 2e6, "tracer__maxTime": 500.0})
+    assert pipe.getParam("lightSource__budget") == 2e6
+    assert tracer.maxTime == 500.0
+    h1, _ = pipe.run()
+    pipe.setParams({"lightSource__budget": 4e6})
+    h2, _ = pipe.run()
+    # doubling the budget ~doubles the curve (different RNG offset -> noise)
+    assert 1.5 < np.asarray(h2).sum() / np.asarray(h1).sum() < 2.5
+
+
+def test_scheduler_processes_all_batches():
+    tracer = build()
+    results = []
+
+    def process(config, batch, result):
+        results.append(np.asarray(result[0]))
+
+    sched = PipelineScheduler(Pipeline(tracer), processFn=process)
+    sched.schedule([{}, {"lightSource__budget": 2e6}, {}])
+    sched.wait()
+    assert len(results) == 3
+    # the middle batch used twice the budget
+    assert results[1].sum() > 1.5 * results[0].sum()
+
+
+def test_converge_histogram_task():
+    tracer = build(4 * 1024)
+    done = []
+    task = ConvergeHistogramTask(
+        {},
+        initialBatchCount=3,
+        extraBatchCount=2,
+        maxBatchCount=30,
+        atol=0.0,
+        rtol=5e-3,
+        finishedCallback=lambda t: done.append(t),
+    )
+    sched = PipelineScheduler(Pipeline(tracer))
+    sched.schedule([task])
+    assert done and done[0] is task
+    assert task.totalBatches >= 3
+    assert task.result is not None and task.result.sum() > 0
+    if task.converged:
+        assert task.error <= task._atol + task._rtol * task._totalMean

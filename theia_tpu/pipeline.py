@@ -1,0 +1,273 @@
+"""Pipelines, scheduler and dynamic tasks.
+
+The orchestration layer (reference: hephaistos.pipeline,
+docs/pipeline/pipeline.md:24-95, src/theia/task.py):
+
+* :class:`Pipeline` names a tracer's stages and provides the uniform
+  ``stage__param`` addressing for per-batch parameter updates.
+* :class:`PipelineScheduler` overlaps device work with host processing:
+  JAX dispatch is asynchronous, so issuing batch k+1 before converting
+  batch k's results to numpy gives the reference's double-buffered
+  CPU/GPU pipelining without explicit command buffers.
+* :class:`DynamicTask` / :class:`ConvergeHistogramTask` issue additional
+  batches until a convergence criterion is met (Welford mean/variance on
+  the histogram total).
+"""
+
+from __future__ import annotations
+
+import warnings
+from collections import deque
+from typing import Callable
+
+import numpy as np
+
+__all__ = [
+    "Pipeline",
+    "PipelineScheduler",
+    "runPipeline",
+    "DynamicTask",
+    "ConvergeHistogramTask",
+]
+
+
+class Pipeline:
+    """Named stages around a tracer (reference: hephaistos.pipeline.Pipeline).
+
+    ``setParams({"lightSource__budget": 1e5})`` routes values to the named
+    component; ``run()`` traces one batch and returns
+    (response result, callback result)."""
+
+    def __init__(self, stages_or_tracer) -> None:
+        if hasattr(stages_or_tracer, "collectStages"):
+            stages = stages_or_tracer.collectStages()
+        else:
+            stages = list(stages_or_tracer)
+        self._stages = dict(stages)
+        tracers = [s for _, s in stages if hasattr(s, "_trace_batch")]
+        if len(tracers) != 1:
+            raise ValueError("pipeline needs exactly one tracer stage")
+        self._tracer = tracers[0]
+
+    @property
+    def tracer(self):
+        return self._tracer
+
+    @property
+    def stages(self) -> dict:
+        return self._stages
+
+    def setParams(self, params: dict) -> None:
+        """Apply ``stage__param`` addressed values
+        (reference: docs/pipeline/pipeline.md:44-64)."""
+        for key, value in params.items():
+            if "__" not in key:
+                raise ValueError(f"parameter {key!r} is not stage-addressed")
+            stage_name, param = key.split("__", 1)
+            if stage_name not in self._stages:
+                raise ValueError(f"unknown stage {stage_name!r}")
+            self._stages[stage_name].setParams(**{param: value})
+
+    def getParam(self, key: str):
+        stage_name, param = key.split("__", 1)
+        return self._stages[stage_name].getParam(param)
+
+    def run(self, params: dict | None = None):
+        if params:
+            self.setParams(params)
+        return self._tracer.run()
+
+    def run_async(self, params: dict | None = None):
+        """Launch one batch without synchronizing; returns the raw device
+        states (resp_state, cb_state) plus the params snapshot."""
+        if params:
+            self.setParams(params)
+        tracer = self._tracer
+        p = tracer.params()
+        import jax.numpy as jnp
+
+        streams = jnp.arange(tracer.batchSize, dtype=jnp.uint32)
+        out = tracer._jit_trace(p, tracer.rng.counter_words, streams)
+        tracer.rng.advance()
+        return out, p
+
+
+def runPipeline(stages_or_tracer, params: dict | None = None):
+    """One-shot convenience (reference: hephaistos.pipeline.runPipeline)."""
+    return Pipeline(stages_or_tracer).run(params)
+
+
+class DynamicTask:
+    """A task whose batch count is decided while running
+    (reference: hephaistos.pipeline.DynamicTask).
+
+    ``processBatch(result)`` consumes one batch result and returns how many
+    extra batches to enqueue."""
+
+    def __init__(self, params: dict | None = None, *, initialBatchCount: int = 1):
+        self.parameters = params or {}
+        self.initialBatchCount = initialBatchCount
+        self.batchesRemaining = 0
+
+    def processBatch(self, result) -> int:
+        return 0
+
+    def onTaskFinished(self) -> None:
+        pass
+
+
+class PipelineScheduler:
+    """Issues batches ahead of host processing (reference:
+    hephaistos.pipeline.PipelineScheduler, docs/pipeline/pipeline.md:66-95).
+
+    ``processFn(config, batch, result)`` is called with each finished
+    batch's (response result, callback result) tuple. ``lookahead`` batches
+    are kept in flight: the asynchronous JAX dispatch computes them on
+    device while the host converts earlier results.
+    """
+
+    def __init__(
+        self,
+        pipeline: Pipeline,
+        *,
+        processFn: Callable | None = None,
+        lookahead: int = 2,
+    ) -> None:
+        if not isinstance(pipeline, Pipeline):
+            pipeline = Pipeline(pipeline)
+        self.pipeline = pipeline
+        self.processFn = processFn
+        self.lookahead = max(1, lookahead)
+        self._batch = 0
+
+    def schedule(self, tasks: list) -> None:
+        """Run a list of tasks; each is a params dict or a DynamicTask."""
+        queue = deque(tasks)
+        in_flight: deque = deque()
+
+        def drain_one():
+            task, out, p = in_flight.popleft()
+            tracer = self.pipeline.tracer
+            result = (
+                tracer.response.result(p["response"], out[0]),
+                tracer.callback.result(p["callback"], out[1]),
+            )
+            if isinstance(task, DynamicTask):
+                task.batchesRemaining -= 1
+                extra = task.processBatch(result)
+                task.batchesRemaining += extra
+                for _ in range(extra):
+                    launch(task)
+                if task.batchesRemaining == 0:
+                    task.onTaskFinished()
+            if self.processFn is not None:
+                self.processFn(0, self._batch, result)
+            self._batch += 1
+
+        def launch(task):
+            params = (
+                task.parameters if isinstance(task, DynamicTask) else task
+            )
+            out, p = self.pipeline.run_async(params)
+            in_flight.append((task, out, p))
+
+        while queue or in_flight:
+            while queue and len(in_flight) < self.lookahead:
+                task = queue.popleft()
+                if isinstance(task, DynamicTask):
+                    task.batchesRemaining = task.initialBatchCount
+                    for _ in range(task.initialBatchCount):
+                        launch(task)
+                else:
+                    launch(task)
+            if in_flight:
+                drain_one()
+
+    def wait(self) -> None:
+        """Kept for API parity; schedule() is synchronous at exit."""
+
+    def destroy(self) -> None:
+        pass
+
+
+class ConvergeHistogramTask(DynamicTask):
+    """Issue histogram batches until the standard error of the total drops
+    below ``atol + rtol * total`` (reference: src/theia/task.py:22-196)."""
+
+    def __init__(
+        self,
+        params: dict | None = None,
+        *,
+        initialBatchCount: int = 4,
+        extraBatchCount: int = 2,
+        maxBatchCount: int = 50,
+        atol: float = 0.1,
+        rtol: float = 5e-5,
+        finishedCallback=None,
+    ) -> None:
+        if initialBatchCount < 2:
+            raise ValueError("initialBatchCount must be at least 2!")
+        if extraBatchCount < 1:
+            raise ValueError("extraBatchCount must be at least 1!")
+        super().__init__(params, initialBatchCount=initialBatchCount)
+        self._extraCount = extraBatchCount
+        self._maxBatchCount = maxBatchCount
+        self._atol = atol
+        self._rtol = rtol
+        self._callback = finishedCallback
+        self._totalBatches = 0
+        self._converged = False
+        self._result = None
+        self._totalMean = 0.0
+        self._sumSquareErr = 0.0
+
+    @property
+    def converged(self) -> bool:
+        return self._converged
+
+    @property
+    def totalBatches(self) -> int:
+        return self._totalBatches
+
+    @property
+    def result(self):
+        return self._result
+
+    @property
+    def error(self) -> float:
+        n = self._totalBatches
+        # pessimistic small-sample correction (approximate c4), as the
+        # reference does (src/theia/task.py:108-123)
+        return float(
+            np.sqrt(self._sumSquareErr / max(n - 1.5, 0.5)) / np.sqrt(n)
+        )
+
+    def onTaskFinished(self) -> None:
+        if self._callback is not None:
+            self._callback(self)
+
+    def processBatch(self, result) -> int:
+        hist = np.asarray(result[0], np.float64)
+        self._totalBatches += 1
+        if self._result is None:
+            self._result = np.zeros_like(hist)
+        # Welford updates
+        self._result += (hist - self._result) / self._totalBatches
+        mean_i = hist.sum()
+        old = self._totalMean
+        self._totalMean += (mean_i - old) / self._totalBatches
+        self._sumSquareErr += (mean_i - old) * (mean_i - self._totalMean)
+
+        if self.batchesRemaining > 1:
+            return 0
+        thres = self._atol + self._rtol * self._totalMean
+        if self._totalBatches >= 2 and self.error <= thres:
+            self._converged = True
+            return 0
+        remaining = max(self._maxBatchCount - self._totalBatches, 0)
+        n = min(remaining, self._extraCount)
+        if n == 0:
+            warnings.warn(
+                f"Failed to converge histogram (error: {self.error:.3e})!"
+            )
+        return n

@@ -23,12 +23,25 @@ from .ops.math3d import (
     intersect_sphere,
     local_frame,
     normalize,
+    sign_bit,
     vec3,
 )
 from .ops.sampling import sample_direction_cone, sample_unit_sphere
 from .random import RNGState
 
-__all__ = ["TargetSample", "Target", "SphereTarget", "InnerSphereTarget"]
+__all__ = [
+    "TargetSample",
+    "Target",
+    "SphereTarget",
+    "InnerSphereTarget",
+    "FlatTarget",
+    "DiskTarget",
+    "TargetGuideSample",
+    "TargetGuide",
+    "SphereTargetGuide",
+    "FlatTargetGuide",
+    "DiskTargetGuide",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -299,3 +312,330 @@ class SphereTargetGuide(TargetGuide):
         cos_dir = dot(view_dir, direction)
         prob = prob * (cos_min >= 1.0 - cos_dir).astype(jnp.float32)
         return TargetGuideSample(direction, dist, prob)
+
+
+def _orient_frame(normal, up):
+    """Orthonormal obj->world columns (x, y, z=normal) from normal+up
+    (reference: Transform.View)."""
+    z = np.asarray(normal, np.float64)
+    z = z / np.linalg.norm(z)
+    upv = np.asarray(up, np.float64)
+    x = np.cross(upv, z)
+    if np.linalg.norm(x) < 1e-12:
+        raise ValueError("normal and up may not be parallel")
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z], axis=1).astype(np.float32)  # columns
+
+
+class _PlanarTarget(Target):
+    """Shared machinery for rect/disk planar targets
+    (reference: shader/target.flat.glsl, target.disk.glsl)."""
+
+    nRNGSamples = 2
+
+    def _frames(self, params, shape):
+        o2w = jnp.broadcast_to(params["_objToWorld"], (*shape, 3, 3))
+        w2o = jnp.swapaxes(o2w, -1, -2)
+        pos = jnp.broadcast_to(params["position"], (*shape, 3))
+        nrm = jnp.broadcast_to(params["_normal"], (*shape, 3))
+        return o2w, w2o, pos, nrm
+
+    def _sample_local(self, params, rng):
+        raise NotImplementedError
+
+    def _inside(self, params, local_xy):
+        raise NotImplementedError
+
+    def sample(self, params, observer, rng: RNGState):
+        shape = observer.shape[:-1]
+        o2w, w2o, offset, base_nrm = self._frames(params, shape)
+        local, rng = self._sample_local(params, rng)
+        pos = jnp.einsum("...ij,...j->...i", o2w, local) + offset
+        side = jnp.sign(dot(base_nrm, observer - pos))
+        normal = base_nrm * side[..., None]
+        valid = dot(normal, normal) != 0.0
+        prob = jnp.broadcast_to(params["_prob"], shape)
+        return (
+            TargetSample(
+                position=pos,
+                normal=normal,
+                dist=distance(observer, pos),
+                obj_position=local,
+                obj_normal=vec3(
+                    jnp.zeros_like(side), jnp.zeros_like(side), side
+                ),
+                prob=prob,
+                valid=valid,
+                offset=-jnp.einsum("...ij,...j->...i", w2o, offset),
+                world_to_obj=w2o,
+            ),
+            rng,
+        )
+
+    def intersect(self, params, observer, direction):
+        shape = observer.shape[:-1]
+        o2w, w2o, offset, base_nrm = self._frames(params, shape)
+        local_obs = jnp.einsum("...ij,...j->...i", w2o, observer - offset)
+        local_dir = jnp.einsum("...ij,...j->...i", w2o, direction)
+        dz = local_dir[..., 2]
+        t = -local_obs[..., 2] / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
+        local_pos = local_obs + t[..., None] * local_dir
+        valid = (t > 0.0) & self._inside(params, local_pos)
+        pos = jnp.einsum("...ij,...j->...i", o2w, local_pos) + offset
+        side = sign_bit(local_obs[..., 2])
+        normal = base_nrm * side[..., None]
+        prob = jnp.broadcast_to(params["_prob"], shape) * valid.astype(
+            jnp.float32
+        )
+        return TargetSample(
+            position=pos,
+            normal=normal,
+            dist=jnp.where(valid, t, jnp.inf),
+            obj_position=local_pos,
+            obj_normal=vec3(jnp.zeros_like(side), jnp.zeros_like(side), side),
+            prob=prob,
+            valid=valid,
+            offset=-jnp.einsum("...ij,...j->...i", w2o, offset),
+            world_to_obj=w2o,
+        )
+
+    def occluded(self, params, position):
+        return jnp.zeros(position.shape[:-1], bool)
+
+
+class FlatTarget(_PlanarTarget):
+    """Rectangular target (reference: src/theia/target.py:202-324)."""
+
+    name = "Flat Target"
+    _param_names = ("width", "length", "position", "_normal", "_prob", "_objToWorld")
+    _extra_names = ("direction", "up")
+
+    def __init__(
+        self,
+        *,
+        width: float = 1.0 * u.cm,
+        length: float = 1.0 * u.cm,
+        position=(0.0, 0.0, 0.0),
+        direction=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0),
+    ) -> None:
+        self.width = width
+        self.length = length
+        self.position = position
+        self.direction = direction
+        self.up = up
+        self.update()
+
+    def update(self) -> None:
+        m = _orient_frame(self.direction, self.up)
+        self._objToWorld = m
+        self._normal = m[:, 2]
+        self._prob = 1.0 / (self.width * self.length)
+
+    def params(self):
+        self.update()
+        return super().params()
+
+    def _sample_local(self, params, rng):
+        (u1, u2), rng = rng.uniform2d()
+        return (
+            vec3(
+                params["width"] * (u1 - 0.5),
+                params["length"] * (u2 - 0.5),
+                jnp.zeros_like(u1),
+            ),
+            rng,
+        )
+
+    def _inside(self, params, local_pos):
+        return (2.0 * jnp.abs(local_pos[..., 0]) <= params["width"]) & (
+            2.0 * jnp.abs(local_pos[..., 1]) <= params["length"]
+        )
+
+
+class DiskTarget(_PlanarTarget):
+    """Disk target (reference: src/theia/target.py:325-424)."""
+
+    name = "Disk Target"
+    _param_names = ("radius", "position", "_normal", "_prob", "_objToWorld")
+    _extra_names = ("direction", "up")
+
+    def __init__(
+        self,
+        *,
+        radius: float = 1.0 * u.cm,
+        position=(0.0, 0.0, 0.0),
+        direction=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0),
+    ) -> None:
+        self.radius = radius
+        self.position = position
+        self.direction = direction
+        self.up = up
+        self.update()
+
+    def update(self) -> None:
+        m = _orient_frame(self.direction, self.up)
+        self._objToWorld = m
+        self._normal = m[:, 2]
+        self._prob = 1.0 / (np.pi * self.radius**2)
+
+    def params(self):
+        self.update()
+        return super().params()
+
+    def _sample_local(self, params, rng):
+        from .ops.sampling import sample_unit_disk
+
+        (u1, u2), rng = rng.uniform2d()
+        return params["radius"] * sample_unit_disk(u1, u2), rng
+
+    def _inside(self, params, local_pos):
+        r2 = local_pos[..., 0] ** 2 + local_pos[..., 1] ** 2
+        return r2 <= params["radius"] ** 2
+
+
+def _guide_sample_from_point(observer, pos, normal, prob_area, dist=None):
+    """createTargetGuideSample: area pdf -> solid-angle pdf with wrong-side
+    and grazing guards (reference: shader/target_guide.common.glsl:10-32)."""
+    d = pos - observer
+    d2 = jnp.maximum(dot(d, d), 1e-30)
+    direction = d / jnp.sqrt(d2)[..., None]
+    cos_normal = dot(direction, normal)
+    prob = prob_area * d2 / jnp.maximum(jnp.abs(cos_normal), 1e-30)
+    prob = jnp.where(jnp.isinf(prob), 0.0, prob)
+    prob = prob * (cos_normal < 0.0).astype(jnp.float32)
+    if dist is None:
+        dist = jnp.sqrt(d2)
+    return TargetGuideSample(direction, dist, prob)
+
+
+class _PlanarTargetGuide(TargetGuide):
+    """Shared rect/disk guide machinery
+    (reference: shader/target_guide.flat.glsl, target_guide.disk.glsl)."""
+
+    nRNGSamples = 2
+
+    def sample(self, params, observer, rng: RNGState):
+        shape = observer.shape[:-1]
+        o2w = jnp.broadcast_to(params["_objToWorld"], (*shape, 3, 3))
+        offset = jnp.broadcast_to(params["position"], (*shape, 3))
+        nrm = jnp.broadcast_to(params["_normal"], (*shape, 3))
+        local, rng = self._sample_local(params, rng)
+        pos = jnp.einsum("...ij,...j->...i", o2w, local) + offset
+        prob = jnp.broadcast_to(params["_prob"], shape)
+        return _guide_sample_from_point(observer, pos, nrm, prob), rng
+
+    def eval(self, params, observer, direction) -> TargetGuideSample:
+        shape = observer.shape[:-1]
+        o2w = jnp.broadcast_to(params["_objToWorld"], (*shape, 3, 3))
+        w2o = jnp.swapaxes(o2w, -1, -2)
+        offset = jnp.broadcast_to(params["position"], (*shape, 3))
+        nrm = jnp.broadcast_to(params["_normal"], (*shape, 3))
+        local_obs = jnp.einsum("...ij,...j->...i", w2o, observer - offset)
+        local_dir = jnp.einsum("...ij,...j->...i", w2o, direction)
+        dz = local_dir[..., 2]
+        t = -local_obs[..., 2] / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
+        local_pos = local_obs + t[..., None] * local_dir
+        inside = (t > 0.0) & self._inside(params, local_pos)
+        cos_normal = dot(direction, nrm)
+        prob_area = jnp.broadcast_to(params["_prob"], shape)
+        prob = prob_area * t * t / jnp.maximum(jnp.abs(cos_normal), 1e-30)
+        prob = jnp.where(jnp.isinf(prob), 0.0, prob)
+        prob = prob * (cos_normal < 0.0).astype(jnp.float32)
+        prob = prob * inside.astype(jnp.float32)
+        dist = jnp.where(inside, t, jnp.inf)
+        return TargetGuideSample(direction, dist, prob)
+
+
+class FlatTargetGuide(_PlanarTargetGuide):
+    """Rectangular target guide (reference: src/theia/target.py:528-637)."""
+
+    name = "Flat Target Guide"
+    _param_names = ("width", "height", "position", "_normal", "_prob", "_objToWorld")
+    _extra_names = ("normal", "up")
+
+    def __init__(
+        self,
+        *,
+        width: float = 1.0 * u.m,
+        height: float = 1.0 * u.m,
+        position=(0.0, 0.0, 0.0),
+        normal=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0),
+    ) -> None:
+        self.width = width
+        self.height = height
+        self.position = position
+        self.normal = normal
+        self.up = up
+        self.update()
+
+    def update(self) -> None:
+        m = _orient_frame(self.normal, self.up)
+        self._objToWorld = m
+        self._normal = m[:, 2]
+        self._prob = 1.0 / (self.width * self.height)
+
+    def params(self):
+        self.update()
+        return super().params()
+
+    def _sample_local(self, params, rng):
+        (u1, u2), rng = rng.uniform2d()
+        return (
+            vec3(
+                params["width"] * (u1 - 0.5),
+                params["height"] * (u2 - 0.5),
+                jnp.zeros_like(u1),
+            ),
+            rng,
+        )
+
+    def _inside(self, params, local_pos):
+        return (2.0 * jnp.abs(local_pos[..., 0]) <= params["width"]) & (
+            2.0 * jnp.abs(local_pos[..., 1]) <= params["height"]
+        )
+
+
+class DiskTargetGuide(_PlanarTargetGuide):
+    """Disk target guide (reference: src/theia/target.py:639-736)."""
+
+    name = "Disk Target Guide"
+    _param_names = ("radius", "position", "_normal", "_prob", "_objToWorld")
+    _extra_names = ("normal", "up")
+
+    def __init__(
+        self,
+        *,
+        radius: float = 1.0 * u.m,
+        position=(0.0, 0.0, 0.0),
+        normal=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0),
+    ) -> None:
+        self.radius = radius
+        self.position = position
+        self.normal = normal
+        self.up = up
+        self.update()
+
+    def update(self) -> None:
+        m = _orient_frame(self.normal, self.up)
+        self._objToWorld = m
+        self._normal = m[:, 2]
+        self._prob = 1.0 / (np.pi * self.radius**2)
+
+    def params(self):
+        self.update()
+        return super().params()
+
+    def _sample_local(self, params, rng):
+        from .ops.sampling import sample_unit_disk
+
+        (u1, u2), rng = rng.uniform2d()
+        return params["radius"] * sample_unit_disk(u1, u2), rng
+
+    def _inside(self, params, local_pos):
+        r2 = local_pos[..., 0] ** 2 + local_pos[..., 1] ** 2
+        return r2 <= params["radius"] ** 2
