@@ -83,6 +83,11 @@ class SceneForwardTracer(Component):
 
     name = "Scene Forward Tracer"
     _param_names = ("targetId", "scatterCoefficient", "maxTime")
+    # direction hooks (SceneBackwardTargetTracer flips these)
+    _target_bit = _DETECTOR
+    _no_r_bit = _NO_R_FWD
+    _no_t_bit = _NO_T_FWD
+    _transmit_eta2 = False  # backward radiance transport takes eta^2
 
     def __init__(
         self,
@@ -298,7 +303,7 @@ class SceneForwardTracer(Component):
         (reference: scene.traverse.glsl:160-183)."""
         pack: ScenePack = p["scene"]
         target_id = p["tracer"]["targetId"]
-        is_target = (hit.flags & jnp.uint32(_DETECTOR)) != 0
+        is_target = (hit.flags & jnp.uint32(self._target_bit)) != 0
         correct = (target_id < 0) | (hit.custom_id == target_id)
         ok = mask & hit.valid & is_target & correct & (hit.error == 0)
         moved, code = self._propagate_to_hit(ray, hit, prop)
@@ -315,20 +320,8 @@ class SceneForwardTracer(Component):
         )
         return resp_state, _merge_dim(rng_after, rng, ok)
 
-    # -- the traced program ---------------------------------------------
-
-    def _trace_batch(self, p, counter, streams):
-        pack: ScenePack = p["scene"]
-        prop = self._propagation(p)
-        mis = self.targetGuide is not None
-        rng = RNGState(
-            key=self.rng.key_words,
-            counter=counter,
-            stream=streams,
-            dim=jnp.zeros_like(streams),
-        )
-
-        # sample ray in the source medium
+    def _sample_initial(self, p, pack, streams, rng):
+        """Sample the initial rays (forward: wavelength + light source)."""
         (lam, lam_contrib), rng = self.wavelengthSource.sample(p["photons"], rng)
         src_medium = jnp.full(
             streams.shape,
@@ -349,7 +342,22 @@ class SceneForwardTracer(Component):
             log_contrib=jnp.zeros_like(lam),
             constants=constants,
         )
-        medium = src_medium
+        return ray, src_medium, rng
+
+    # -- the traced program ---------------------------------------------
+
+    def _trace_batch(self, p, counter, streams):
+        pack: ScenePack = p["scene"]
+        prop = self._propagation(p)
+        mis = self.targetGuide is not None
+        rng = RNGState(
+            key=self.rng.key_words,
+            counter=counter,
+            stream=streams,
+            dim=jnp.zeros_like(streams),
+        )
+
+        ray, medium, rng = self._sample_initial(p, pack, streams, rng)
 
         resp_state = self.response.init()
         cb_state = self.callback.init(streams.shape[0], self.maxPathLength + 2)
@@ -424,12 +432,12 @@ class SceneForwardTracer(Component):
             n_i, n_t, r_s, r_p = self._fresnel(pack, ray, hit)
             flags = hit.flags
             is_abs = (flags & jnp.uint32(_BLACK)) != 0
-            is_target = (flags & jnp.uint32(_DETECTOR)) != 0
+            is_target = (flags & jnp.uint32(self._target_bit)) != 0
             vol_border = ((flags & jnp.uint32(_VOLUME)) != 0) & (
                 not self.disableVolumeBorder
             )
-            can_reflect = (flags & jnp.uint32(_NO_R_FWD)) == 0
-            can_transmit = ((flags & jnp.uint32(_NO_T_FWD)) == 0) & (
+            can_reflect = (flags & jnp.uint32(self._no_r_bit)) == 0
+            can_transmit = ((flags & jnp.uint32(self._no_t_bit)) == 0) & (
                 not self.disableTransmission
             )
 
@@ -478,9 +486,15 @@ class SceneForwardTracer(Component):
             refl_corr = refl_log - sg(refl_log)
             # 2) transmit
             eta = n_i / n_t
+            eta_sq = eta * eta
             trans_dir = normalize(_refract(ray.direction, hit.ray_nrm, eta))
             trans_pos = offset_ray(hit.world_pos, -hit.ray_nrm)
             trans_factor = jnp.where(both, 1.0, 1.0 - r_coef)
+            if self._transmit_eta2:
+                # backward rays transport radiance -> eta^2 on transmission
+                # (reference: ray.surface.glsl transmitRayIS backward)
+                trans_factor = trans_factor * eta_sq
+
             trans_log = jnp.where(
                 both, jnp.log(jnp.maximum(1.0 - r_coef, 1e-30)), 0.0
             )
