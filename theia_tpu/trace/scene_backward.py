@@ -313,9 +313,10 @@ class SceneBackwardTracer(Component):
         )
         i_path += 1
 
-        # a lightweight internal forward tracer provides the surface
-        # interaction sampler with backward flags
-        surf_tracer = _surface_helper(self)
+        surf_tracer = make_surface_interactor(
+            disable_transmission=self.disableTransmission,
+            disable_volume_border=self.disableVolumeBorder,
+        )
 
         def body(i, carry):
             ray, medium, alive, rng, resp_state, cb_state = carry
@@ -476,27 +477,35 @@ def _sample_phase(pack, medium, direction, u1, u2):
     return direction_new, jnp.exp(log_p), log_p
 
 
-def _surface_helper(tracer: SceneBackwardTracer):
-    """Backward-flag surface interaction, mirroring the forward tracer's
-    reflect/transmit IS block (reference: scene.traverse.backward.glsl:19-89)."""
+def make_surface_interactor(
+    *,
+    no_r_bit: int = int(MaterialFlags.NO_REFLECT_BWD),
+    no_t_bit: int = int(MaterialFlags.NO_TRANSMIT_BWD),
+    eta2: bool = True,
+    disable_transmission: bool = False,
+    disable_volume_border: bool = False,
+):
+    """Surface interaction (Fresnel reflect/transmit IS) parameterized by
+    transport direction (reference: scene.traverse.backward.glsl:19-89 /
+    scene.traverse.glsl:73-154)."""
     from ..accel import offset_ray
     from ..material import lookup_packed
     from .scene import _reflect, _refract
 
     _BLACK = int(MaterialFlags.BLACK_BODY)
     _VOL = int(MaterialFlags.VOLUME_BORDER)
-    _NO_R = int(MaterialFlags.NO_REFLECT_BWD)
-    _NO_T = int(MaterialFlags.NO_TRANSMIT_BWD)
+    _NO_R = no_r_bit
+    _NO_T = no_t_bit
 
     def interact(p, prop, pack, ray, medium, hit, surf, rng):
         flags = hit.flags
         is_abs = (flags & jnp.uint32(_BLACK)) != 0
         vol_border = ((flags & jnp.uint32(_VOL)) != 0) & (
-            not tracer.disableVolumeBorder
+            not disable_volume_border
         )
         can_reflect = (flags & jnp.uint32(_NO_R)) == 0
         can_transmit = ((flags & jnp.uint32(_NO_T)) == 0) & (
-            not tracer.disableTransmission
+            not disable_transmission
         )
 
         # Fresnel
@@ -532,7 +541,9 @@ def _surface_helper(tracer: SceneBackwardTracer):
         trans_dir = _refract(ray.direction, hit.ray_nrm, eta)
         trans_pos = offset_ray(hit.world_pos, -hit.ray_nrm)
         refl_factor = jnp.where(both, 1.0, r_coef)
-        trans_factor = jnp.where(both, 1.0, 1.0 - r_coef) * eta * eta
+        trans_factor = jnp.where(both, 1.0, 1.0 - r_coef)
+        if eta2:
+            trans_factor = trans_factor * eta * eta
 
         sel_r = surf & ~is_abs & ~vol_border & do_reflect & can_reflect
         sel_t = surf & ~is_abs & ~vol_border & ~do_reflect & can_transmit
