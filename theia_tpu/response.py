@@ -29,6 +29,12 @@ __all__ = [
     "KernelHistogramHitResponse",
     "HitRecorder",
     "StoreTimeHitResponse",
+    "StoreValueHitResponse",
+    "SampleValueResponse",
+    "HistogramEstimator",
+    "HostEstimator",
+    "replay_hits",
+    "sample_camera_hits",
 ]
 
 
@@ -321,3 +327,199 @@ class StoreTimeHitResponse(HitResponse):
             valid=upd(state["valid"], accept),
         )
         return state, rng
+
+
+class SampleValueResponse(HitResponse):
+    """Per-lane value output for testing detector models: stores the
+    response value of the first recorded hit per record call
+    (reference: src/theia/response.py:800-881)."""
+
+    name = "Sample Value Response"
+
+    def __init__(self, value_response: ValueResponse | None = None) -> None:
+        self.value_response = (
+            UniformValueResponse() if value_response is None else value_response
+        )
+        self.nRNGSamples = self.value_response.nRNGSamples
+
+    def params(self):
+        return {"value": self.value_response.params()}
+
+    def prepare(self, config: TraceConfig) -> None:
+        super().prepare(config)
+        self.value_response.prepare(config)
+
+    def init(self):
+        n = self._config.capacity
+        return jnp.full(n, jnp.nan, jnp.float32)
+
+    def record(self, params, state, item: HitItem, mask, rng: RNGState):
+        value, rng = self.value_response.value(params.get("value", {}), item, rng)
+        lane = jnp.arange(state.shape[0])
+        take = mask & jnp.isnan(jnp.take(state, lane))
+        state = jnp.where(take, value, state)
+        return state, rng
+
+
+class StoreValueHitResponse(HitResponse):
+    """Stores (value, time) per hit into a queue — feed the result to
+    :class:`HistogramEstimator` / :class:`HostEstimator`
+    (reference: src/theia/response.py:532-623)."""
+
+    name = "Store Value Hit Response"
+
+    def __init__(self, value_response: ValueResponse | None = None) -> None:
+        self.value_response = (
+            UniformValueResponse() if value_response is None else value_response
+        )
+        self.nRNGSamples = self.value_response.nRNGSamples
+
+    def params(self):
+        return {"value": self.value_response.params()}
+
+    def prepare(self, config: TraceConfig) -> None:
+        super().prepare(config)
+        self.value_response.prepare(config)
+        self._capacity = config.capacity * config.max_hits_per_thread
+
+    def init(self):
+        n = self._capacity
+        return dict(
+            cursor=jnp.int32(0),
+            value=jnp.zeros(n, jnp.float32),
+            time=jnp.zeros(n, jnp.float32),
+            valid=jnp.zeros(n, bool),
+        )
+
+    def record(self, params, state, item: HitItem, mask, rng: RNGState):
+        value, rng = self.value_response.value(params.get("value", {}), item, rng)
+        c = state["cursor"]
+        slot = c + jnp.cumsum(mask.astype(jnp.int32)) - 1
+        slot = jnp.where(mask, slot, self._capacity)
+
+        def upd(buf, val):
+            return buf.at[slot].set(val, mode="drop")
+
+        state = dict(
+            cursor=jnp.minimum(c + jnp.sum(mask.astype(jnp.int32)), self._capacity),
+            value=upd(state["value"], value),
+            time=upd(state["time"], item.time),
+            valid=upd(state["valid"], mask),
+        )
+        return state, rng
+
+
+class HistogramEstimator:
+    """Consumes a (value, time) queue into a time histogram
+    (reference: src/theia/response.py:1721-1850, shader/estimator.hist.glsl)."""
+
+    def __init__(
+        self,
+        *,
+        nBins: int = 100,
+        t0: float = 0.0,
+        binSize: float = 1.0,
+        normalization: float = 1.0,
+    ) -> None:
+        self.nBins = nBins
+        self.t0 = t0
+        self.binSize = binSize
+        self.normalization = normalization
+
+    def __call__(self, queue) -> np.ndarray:
+        valid = np.asarray(queue["valid"])
+        value = np.asarray(queue["value"])[valid]
+        time = np.asarray(queue["time"])[valid]
+        hist, _ = np.histogram(
+            time,
+            bins=self.nBins,
+            range=(self.t0, self.t0 + self.nBins * self.binSize),
+            weights=value.astype(np.float64),
+        )
+        return hist * self.normalization
+
+
+class HostEstimator:
+    """Copies the (value, time) queue to host arrays
+    (reference: src/theia/response.py:1853-1905)."""
+
+    def __call__(self, queue):
+        valid = np.asarray(queue["valid"])
+        return {
+            "value": np.asarray(queue["value"])[valid],
+            "time": np.asarray(queue["time"])[valid],
+        }
+
+
+def replay_hits(hits: dict, response: HitResponse, params=None, *, rng=None):
+    """Feed stored hits (a HitRecorder result) back through any response
+    (reference: src/theia/response.py:278-422 HitReplay)."""
+    from .random import PhiloxRNG
+    from .component import TraceConfig
+
+    valid = jnp.asarray(hits["valid"])
+    n = valid.shape[0]
+    item = HitItem(
+        position=jnp.asarray(hits["position"]),
+        direction=jnp.asarray(hits["direction"]),
+        normal=jnp.asarray(hits["normal"]),
+        wavelength=jnp.asarray(hits["wavelength"]),
+        time=jnp.asarray(hits["time"]),
+        contrib=jnp.asarray(hits["contrib"]),
+        object_id=jnp.asarray(hits["objectId"]),
+        stokes=jnp.asarray(hits["stokes"]) if "stokes" in hits else None,
+        pol_ref=jnp.asarray(hits["polRef"]) if "polRef" in hits else None,
+    )
+    response.prepare(
+        TraceConfig(
+            batch_size=n,
+            capacity=n,
+            max_hits_per_thread=1,
+            normalization=1.0,
+            polarized=item.stokes is not None,
+        )
+    )
+    params = response.params() if params is None else params
+    rng = rng if rng is not None else PhiloxRNG(key=0xC0FFEE)
+    state = response.init()
+    state, _ = response.record(
+        params, state, item, valid, rng.state(jnp.arange(n, dtype=jnp.uint32))
+    )
+    return response.result(params, state)
+
+
+def sample_camera_hits(
+    camera, response: HitResponse, n: int, *, wavelength=450.0, rng=None
+):
+    """Drive a response with camera-sampled hits (testing detector models;
+    reference: src/theia/response.py:908-1062 CameraHitResponseSampler)."""
+    from .random import PhiloxRNG
+
+    rng = rng if rng is not None else PhiloxRNG(key=0xC0FFEE)
+    state = rng.state(jnp.arange(n, dtype=jnp.uint32))
+    lam = jnp.full(n, wavelength, jnp.float32)
+    ray, state = camera.sample_ray(camera.params(), lam, state)
+    item = HitItem(
+        position=ray.hit_position,
+        direction=ray.hit_direction,
+        normal=ray.hit_normal,
+        wavelength=lam,
+        time=ray.time_delta,
+        contrib=ray.contrib,
+        object_id=ray.object_id,
+    )
+    response.prepare(
+        TraceConfig(
+            batch_size=n,
+            capacity=n,
+            max_hits_per_thread=1,
+            normalization=1.0,
+            polarized=False,
+        )
+    )
+    params = response.params()
+    rstate = response.init()
+    rstate, _ = response.record(
+        params, rstate, item, jnp.ones(n, bool), state
+    )
+    return response.result(params, rstate)
