@@ -184,7 +184,12 @@ def intersect_scene(
     ``medium_handle``: i32[N] — the medium each lane believes it is in;
     mismatches against the hit material's expectation raise the
     media-mismatch error exactly like the reference."""
-    t, tri, b1, b2 = _nearest_triangle(pack, origin, direction, t_max, chunk)
+    if pack.bvh is not None:
+        from .ops.bvh_traverse import nearest_triangle_bvh
+
+        t, tri, b1, b2 = nearest_triangle_bvh(pack.bvh, origin, direction, t_max)
+    else:
+        t, tri, b1, b2 = _nearest_triangle(pack, origin, direction, t_max, chunk)
     valid = tri >= 0
     tri_safe = jnp.maximum(tri, 0)
 
@@ -264,5 +269,10 @@ def is_visible(
     d = target - observer
     dist = jnp.sqrt(jnp.maximum(dot(d, d), 1e-30))
     direction = d / dist[:, None]
-    t, tri, _, _ = _nearest_triangle(pack, observer, direction, dist, chunk)
+    if pack.bvh is not None:
+        from .ops.bvh_traverse import nearest_triangle_bvh
+
+        t, tri, _, _ = nearest_triangle_bvh(pack.bvh, observer, direction, dist)
+    else:
+        t, tri, _, _ = _nearest_triangle(pack, observer, direction, dist, chunk)
     return tri < 0

@@ -834,3 +834,244 @@ class FunctionWavelengthSource(WavelengthSource):
         lam = lookup(params["_table"], uu)
         contrib = jnp.broadcast_to(params["_contrib"], lam.shape)
         return (lam, contrib), rng
+
+
+# ---------------------------------------------------------------------------
+# light-source targets (focus existing sources; reference:
+# src/theia/target.py:738-1106, shader/lightsource.target.*.glsl,
+# shader/lightsource.guided.glsl)
+# ---------------------------------------------------------------------------
+
+
+class LightSourceTarget(Component):
+    """Samples target points used to focus a light source
+    (``sampleLightTarget`` interface)."""
+
+    name = "Light Source Target"
+    nRNGSamples: int = 0
+
+    def sample(self, params, wavelength, rng: RNGState):
+        """Returns ((position, normal, contrib), rng)."""
+        raise NotImplementedError
+
+
+class PointLightSourceTarget(LightSourceTarget):
+    """Single point, volume normal (reference:
+    shader/lightsource.target.point.glsl)."""
+
+    name = "Point Light Source Target"
+    nRNGSamples = 0
+    _param_names = ("position",)
+
+    def __init__(self, *, position=(0.0, 0.0, 0.0)) -> None:
+        self.position = position
+
+    def sample(self, params, wavelength, rng: RNGState):
+        shape = rng.stream.shape
+        pos = jnp.broadcast_to(params["position"], (*shape, 3))
+        nrm = jnp.zeros_like(pos)
+        return (pos, nrm, jnp.ones(shape, jnp.float32)), rng
+
+
+class _PlanarLightSourceTarget(LightSourceTarget):
+    nRNGSamples = 2
+
+    def _frame(self, params, shape):
+        o2w = jnp.broadcast_to(params["_objToWorld"], (*shape, 3, 3))
+        pos = jnp.broadcast_to(params["position"], (*shape, 3))
+        nrm = jnp.broadcast_to(params["_normal"], (*shape, 3))
+        return o2w, pos, nrm
+
+    def sample(self, params, wavelength, rng: RNGState):
+        shape = rng.stream.shape
+        o2w, offset, nrm = self._frame(params, shape)
+        local, rng = self._sample_local(params, rng)
+        pos = jnp.einsum("...ij,...j->...i", o2w, local) + offset
+        contrib = jnp.broadcast_to(params["_area"], shape)
+        return (pos, nrm, contrib), rng
+
+
+class DiskLightSourceTarget(_PlanarLightSourceTarget):
+    """Disk target (reference: src/theia/target.py:770-868)."""
+
+    name = "Disk Light Source Target"
+    _param_names = ("radius", "position", "_normal", "_area", "_objToWorld")
+    _extra_names = ("normal", "up")
+
+    def __init__(
+        self, *, position=(0.0, 0.0, 0.0), radius=1.0, normal=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0),
+    ) -> None:
+        self.position = position
+        self.radius = radius
+        self.normal = normal
+        self.up = up
+        self.update()
+
+    def update(self) -> None:
+        from .target import _orient_frame
+
+        m = _orient_frame(self.normal, self.up)
+        self._objToWorld = m
+        self._normal = m[:, 2]
+        self._area = np.pi * self.radius**2
+
+    def params(self):
+        self.update()
+        return super().params()
+
+    def _sample_local(self, params, rng):
+        from .ops.sampling import sample_unit_disk
+
+        (u1, u2), rng = rng.uniform2d()
+        return params["radius"] * sample_unit_disk(u1, u2), rng
+
+
+class FlatLightSourceTarget(_PlanarLightSourceTarget):
+    """Rectangular target (reference: src/theia/target.py:869-1004)."""
+
+    name = "Flat Light Source Target"
+    _param_names = ("width", "height", "position", "_normal", "_area", "_objToWorld")
+    _extra_names = ("normal", "up")
+
+    def __init__(
+        self, *, width=1.0, height=1.0, position=(0.0, 0.0, 0.0),
+        normal=(0.0, 0.0, 1.0), up=(0.0, 1.0, 0.0),
+    ) -> None:
+        self.width = width
+        self.height = height
+        self.position = position
+        self.normal = normal
+        self.up = up
+        self.update()
+
+    def update(self) -> None:
+        from .target import _orient_frame
+
+        m = _orient_frame(self.normal, self.up)
+        self._objToWorld = m
+        self._normal = m[:, 2]
+        self._area = self.width * self.height
+
+    def params(self):
+        self.update()
+        return super().params()
+
+    def _sample_local(self, params, rng):
+        (u1, u2), rng = rng.uniform2d()
+        return (
+            vec3(
+                params["width"] * (u1 - 0.5),
+                params["height"] * (u2 - 0.5),
+                jnp.zeros_like(u1),
+            ),
+            rng,
+        )
+
+
+class TargetLightSource(LightSource):
+    """Focus a backward-capable light source onto a target: sample a target
+    point, then the principal source toward it
+    (reference: src/theia/target.py:1006-1106, shader/lightsource.guided.glsl)."""
+
+    name = "Target Light Source"
+    supportForward = True
+    supportBackward = False
+
+    def __init__(self, source: LightSource, target: LightSourceTarget) -> None:
+        if not source.supportBackward:
+            raise ValueError("principal source must support backward mode")
+        self.source = source
+        self.target = target
+        self.nRNGForward = target.nRNGSamples + source.nRNGBackward
+
+    def params(self):
+        return {
+            "principal": self.source.params(),
+            "target": self.target.params(),
+        }
+
+    def sample_forward(self, params, wavelength, constants, rng: RNGState):
+        (pos, nrm, contrib), rng = self.target.sample(
+            params["target"], wavelength, rng
+        )
+        ray, rng = self.source.sample_backward(
+            params["principal"], pos, nrm, wavelength, constants, rng
+        )
+        return (
+            SourceRay(
+                position=ray.position,
+                direction=ray.direction,
+                start_time=ray.start_time,
+                contrib=ray.contrib * contrib,
+                stokes=ray.stokes,
+                pol_ref=ray.pol_ref,
+            ),
+            rng,
+        )
+
+
+class StreamingHostWavelengthSource(HostWavelengthSource):
+    """Walks a large host array batch by batch; call :meth:`update` (or let
+    the pipeline do it) to advance (reference: src/theia/light.py:180-257)."""
+
+    name = "Streaming Host Wavelength Source"
+
+    def __init__(self, wavelength, contrib=None, *, batchSize: int) -> None:
+        self._all_wavelength = np.asarray(wavelength, np.float32)
+        self._all_contrib = (
+            np.ones_like(self._all_wavelength)
+            if contrib is None
+            else np.asarray(contrib, np.float32)
+        )
+        self.batchSize = batchSize
+        self.offset = 0
+        self._slice()
+
+    def _slice(self) -> None:
+        n = len(self._all_wavelength)
+        idx = (self.offset + np.arange(self.batchSize)) % n
+        self.wavelength = self._all_wavelength[idx]
+        self.contrib = self._all_contrib[idx]
+
+    def update(self) -> None:
+        self._slice()
+        self.offset = (self.offset + self.batchSize) % len(self._all_wavelength)
+
+    def params(self):
+        self.update()
+        return super().params()
+
+
+class StreamingHostLightSource(HostLightSource):
+    """Streams source rays from large host arrays batch by batch
+    (reference: src/theia/light.py:789-881)."""
+
+    name = "Streaming Host Light Source"
+
+    def __init__(self, position, direction, startTime, contrib, *, batchSize: int):
+        self._all = dict(
+            position=np.asarray(position, np.float32),
+            direction=np.asarray(direction, np.float32),
+            startTime=np.asarray(startTime, np.float32),
+            contrib=np.asarray(contrib, np.float32),
+        )
+        self.batchSize = batchSize
+        self.offset = 0
+        self._slice()
+
+    def _slice(self) -> None:
+        n = len(self._all["startTime"])
+        idx = (self.offset + np.arange(self.batchSize)) % n
+        self.position = self._all["position"][idx]
+        self.direction = self._all["direction"][idx]
+        self.startTime = self._all["startTime"][idx]
+        self.contrib = self._all["contrib"][idx]
+
+    def update(self) -> None:
+        self._slice()
+        self.offset = (self.offset + self.batchSize) % len(self._all["startTime"])
+
+    def params(self):
+        self.update()
+        return super().params()

@@ -249,3 +249,47 @@ class PhiloxRNG(RNG):
     def advance(self, n: int | None = None) -> None:
         """Advance ``offset`` by n draws (default: ``autoAdvance``)."""
         self.offset += self.autoAdvance if n is None else n
+
+
+def rng_buffer(rng: "PhiloxRNG", n_streams: int, n_draws: int) -> jax.Array:
+    """Fill a (n_streams, n_draws) buffer with uniform samples for host-side
+    statistical tests (reference: src/theia/random.py:44-199 RNGBufferSink).
+
+    Host-side generators (e.g. :class:`SobolQRNG`) are dispatched to their
+    own ``sample`` method."""
+    if not hasattr(rng, "key_words"):
+        import numpy as np
+
+        return jnp.asarray(np.asarray(rng.sample(n_streams))[:, :n_draws])
+    streams = jnp.arange(n_streams, dtype=jnp.uint32)[:, None]
+    draws = jnp.arange(n_draws, dtype=jnp.uint32)[None, :]
+    return philox_uniform(rng.key_words, rng.counter_words, streams, draws)
+
+
+class SobolQRNG(RNG):
+    """Owen-scrambled Sobol sampler (host-side).
+
+    The reference's GPU Sobol implementation is documented broken
+    (docs/pipeline/components.md:195-197); this provides the quasi-random
+    sequence via scipy for host-side workflows (Host* sources, statistical
+    tests). Tracer integration intentionally mirrors the reference's
+    status and falls back to Philox.
+    """
+
+    def __init__(self, *, seed: int = 0, dims: int = 64) -> None:
+        self.seed = seed
+        self.dims = dims
+        self.offset = 0
+        self.autoAdvance = 0
+
+    def sample(self, n: int) -> "np.ndarray":
+        from scipy.stats import qmc
+        import numpy as np
+
+        eng = qmc.Sobol(self.dims, scramble=True, seed=self.seed)
+        if self.offset:
+            eng.fast_forward(self.offset)
+        return eng.random(n)
+
+    def advance(self, n: int | None = None) -> None:
+        self.offset += self.autoAdvance if n is None else n

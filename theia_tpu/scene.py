@@ -257,6 +257,8 @@ class ScenePack:
     medium: jax.Array  # i32 handle of the surrounding medium
     lower_bbox: jax.Array  # f32 (3,)
     upper_bbox: jax.Array
+    # optional threaded-BVH acceleration data (see theia_tpu.native)
+    bvh: "object | None" = None
 
 
 class Scene:
@@ -274,12 +276,16 @@ class Scene:
         *,
         medium: str | None = None,
         bbox: RectBBox | None = None,
+        accel: str = "brute",
     ) -> None:
         if not isinstance(materials, MaterialStore):
             materials = MaterialStore.pack(list(materials.values()))
+        if accel not in ("brute", "bvh"):
+            raise ValueError("accel must be 'brute' or 'bvh'")
         self.instances = instances
         self.materials = materials
         self.medium = medium
+        self.accel = accel
         self.bbox = bbox if bbox is not None else RectBBox(
             (-1.0 * u.km,) * 3, (1.0 * u.km,) * 3
         )
@@ -326,6 +332,17 @@ class Scene:
             det.append(inst.detectorId)
 
         cat = lambda xs: jnp.asarray(np.concatenate(xs, axis=0))
+        bvh_pack = None
+        if self.accel == "bvh":
+            from .native import build_bvh
+            from .ops.bvh_traverse import pack_bvh
+
+            cv0 = np.concatenate(w_v0)
+            ce1 = np.concatenate(w_e1)
+            ce2 = np.concatenate(w_e2)
+            leaf = 4
+            bvh = build_bvh(cv0, ce1, ce2, leaf_size=leaf)
+            bvh_pack = pack_bvh(bvh, cv0, ce1, ce2, leaf)
         return ScenePack(
             w_v0=cat(w_v0), w_e1=cat(w_e1), w_e2=cat(w_e2),
             o_v0=cat(o_v0), o_e1=cat(o_e1), o_e2=cat(o_e2),
@@ -342,4 +359,5 @@ class Scene:
             medium=jnp.asarray(store.media.handle(self.medium), jnp.int32),
             lower_bbox=jnp.asarray(self.bbox.lowerCorner, jnp.float32),
             upper_bbox=jnp.asarray(self.bbox.upperCorner, jnp.float32),
+            bvh=bvh_pack,
         )
