@@ -152,3 +152,51 @@ def test_scene_template_stamping():
         (5.0, 0.0, 0.0),
         atol=1e-5,
     )
+
+
+def test_mesh_camera():
+    """MeshCamera: unbiased surface sampling + hemisphere directions.
+
+    Estimator check: for a closed mesh, E[contrib]/2pi over hemisphere
+    draws integrates cos over the hemisphere -> pi * totalArea, i.e.
+    mean(contrib) -> pi * totalArea (reference estimator semantics)."""
+    import numpy as np
+    from theia_tpu.camera import MeshCamera
+    from theia_tpu.scene import MeshStore, Transform
+    from theia_tpu.testing import sampleCameraRay, sampleCameraPoint
+
+    meshes = MeshStore({"sphere": "/root/reference/assets/sphere.stl"})
+    inst = meshes.createInstance(
+        "sphere", "mat", Transform.TRS(scale=2.0, translate=(1.0, -2.0, 0.5))
+    )
+    cam = MeshCamera(inst, timeDelta=5.0)
+
+    # total surface area of the transformed mesh
+    m = inst.mesh
+    pos = m.vertices[:, :3] * 2.0
+    idx = m.indices
+    e1 = pos[idx[:, 1]] - pos[idx[:, 0]]
+    e2 = pos[idx[:, 2]] - pos[idx[:, 0]]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum()
+
+    n = 64 * 1024
+    ray = sampleCameraRay(cam, n)
+    assert np.allclose(ray.time_delta, 5.0)
+    # directions leave the surface (outward): dot(dir, world normal) > 0
+    # world normal from object normal: n @ w2o_lin (uniform scale -> same dir)
+    wn = ray.hit_normal  # uniform scale + translation: direction unchanged
+    assert (np.einsum("ij,ij->i", ray.direction, wn) > 0.0).all()
+    est = ray.contrib.mean() / (2.0 * np.pi)
+    assert abs(est / (area / 2.0) - 1.0) < 0.02  # cos integrates to pi*A/2pi
+
+    # positions lie on the transformed sphere (radius 2 about center)
+    r = np.linalg.norm(ray.position - np.array([1.0, -2.0, 0.5]), axis=-1)
+    assert abs(np.median(r) / 2.0 - 1.0) < 0.01
+
+    pt = sampleCameraPoint(cam, n)
+    assert abs(pt.contrib.mean() / area - 1.0) < 0.02
+
+    # inward flips normals and directions
+    cam_in = MeshCamera(inst, inward=True)
+    ray_in = sampleCameraRay(cam_in, 4096)
+    assert (np.einsum("ij,ij->i", ray_in.direction, ray_in.hit_normal) > 0.0).all()

@@ -45,6 +45,7 @@ __all__ = [
     "ConeCamera",
     "SphereCamera",
     "PointCamera",
+    "MeshCamera",
     "HostCamera",
 ]
 
@@ -77,6 +78,10 @@ class CameraSample:
     normal: jax.Array  # f32[N,3]
     contrib: jax.Array  # f32[N]
     object_id: jax.Array  # i32[N]
+    # object-space hit data for cameras whose object space differs from
+    # world space (MeshCamera); None -> position/normal are already both
+    obj_position: jax.Array | None = None  # f32[N,3]
+    obj_normal: jax.Array | None = None  # f32[N,3]
 
 
 def _ids(shape, value=-1):
@@ -434,6 +439,167 @@ class SphereCamera(Camera):
             hit_position=cam.normal,
             hit_direction=light_dir,
             hit_normal=cam.normal,
+            object_id=cam.object_id,
+        )
+
+
+class MeshCamera(Camera):
+    """Camera producing rays from the surface of a mesh instance
+    (reference: src/theia/camera.py:746-860, shader/camera.mesh.glsl).
+
+    Matches the reference's estimator: triangles are drawn uniformly by
+    *count* (not area) and compensated via ``contrib = area * triCount``;
+    points are uniform in the triangle via the (1-sqrt(u), v*sqrt(u))
+    warp; directions are uniform on the hemisphere above the (optionally
+    flipped) geometric normal with ``contrib *= cos_theta * 2pi``. The
+    geometric normal is sign-aligned with the interpolated vertex normal.
+
+    Note: the reference GLSL adds the translation column when taking the
+    triangle edges to world space for the area factor
+    (camera.mesh.glsl:52-53) — a bug for direction vectors; we apply only
+    the linear part.
+    """
+
+    name = "Mesh Camera"
+    nRNGSamples = 5
+    nRNGDirect = 3
+    supportDirect = True
+    _param_names = ("timeDelta",)
+    _extra_names = ("mesh", "inward")
+
+    def __init__(
+        self,
+        mesh,
+        *,
+        timeDelta: float = 0.0,
+        inward: bool = False,
+    ) -> None:
+        self.mesh = mesh
+        self.timeDelta = timeDelta
+        self.inward = inward
+
+    def params(self):
+        m = self.mesh.mesh
+        idx = m.indices
+        pos = m.vertices[:, :3]
+        nrm = m.vertices[:, 3:6]
+        v0 = pos[idx[:, 0]]
+        o2w = self.mesh.transform.numpy()
+        w2o = self.mesh.transform.inverse().numpy()
+        return {
+            "timeDelta": jnp.float32(self.timeDelta),
+            "outward": jnp.float32(-1.0 if self.inward else 1.0),
+            "v0": jnp.asarray(v0),
+            "e1": jnp.asarray(pos[idx[:, 1]] - v0),
+            "e2": jnp.asarray(pos[idx[:, 2]] - v0),
+            "n0": jnp.asarray(nrm[idx[:, 0]]),
+            "n1": jnp.asarray(nrm[idx[:, 1]]),
+            "n2": jnp.asarray(nrm[idx[:, 2]]),
+            "o2w": jnp.asarray(o2w),
+            "w2o": jnp.asarray(w2o),
+        }
+
+    def _sample_surface(self, params, rng: RNGState):
+        """Shared sampleCamera (3 draws): world/object point + contrib."""
+        n_tri = params["v0"].shape[0]
+        u1, rng = rng.uniform()
+        tri = jnp.minimum(
+            jnp.floor(u1 * n_tri).astype(jnp.int32), n_tri - 1
+        )
+        g = lambda name: jnp.take(params[name], tri, axis=0)
+        v0, e1, e2 = g("v0"), g("e1"), g("e2")
+        (b1, b2), rng = rng.uniform2d()
+        sb = jnp.sqrt(b1)
+        b1 = 1.0 - sb
+        b2 = b2 * sb
+        local_pos = v0 + b1[..., None] * e1 + b2[..., None] * e2
+        local_nrm = normalize(jnp.cross(e1, e2))
+        int_nrm = (
+            g("n0")
+            + b1[..., None] * (g("n1") - g("n0"))
+            + b2[..., None] * (g("n2") - g("n0"))
+        )
+        from .ops.math3d import sign_bit
+
+        local_nrm = local_nrm * sign_bit(dot(local_nrm, int_nrm))[..., None]
+        local_nrm = local_nrm * params["outward"]
+
+        o2w = params["o2w"]
+        lin, off = o2w[:3, :3], o2w[:3, 3]
+        ray_pos = local_pos @ lin.T + off
+        # normals transform with the inverse transpose: n' = n @ w2o[:3,:3]
+        ray_nrm = normalize(local_nrm @ params["w2o"][:3, :3])
+        from .accel import offset_ray
+
+        ray_pos = offset_ray(ray_pos, ray_nrm)
+
+        we1 = e1 @ lin.T
+        we2 = e2 @ lin.T
+        area = 0.5 * jnp.sqrt(
+            jnp.maximum(dot(jnp.cross(we1, we2), jnp.cross(we1, we2)), 1e-30)
+        )
+        contrib = area * jnp.float32(n_tri)
+        return (ray_pos, ray_nrm, local_pos, local_nrm, contrib), rng
+
+    def sample_ray(self, params, wavelength, rng: RNGState):
+        shape = rng.stream.shape
+        (ray_pos, ray_nrm, local_pos, local_nrm, contrib), rng = (
+            self._sample_surface(params, rng)
+        )
+        (u3, u4), rng = rng.uniform2d()
+        local = sample_hemisphere(u3, u4)
+        cos_theta = local[..., 2]
+        vx, vy = local_frame(local_nrm)
+        local_dir = (
+            local[..., 0:1] * vx + local[..., 1:2] * vy + local[..., 2:3] * local_nrm
+        )
+        ray_dir = normalize(local_dir @ params["o2w"][:3, :3].T)
+        contrib = contrib * cos_theta * jnp.float32(TWO_PI)
+        return (
+            CameraRay(
+                position=ray_pos,
+                direction=ray_dir,
+                contrib=contrib,
+                time_delta=jnp.broadcast_to(params["timeDelta"], shape),
+                hit_position=local_pos,
+                hit_direction=-local_dir,
+                hit_normal=local_nrm,
+                object_id=_ids(shape),
+            ),
+            rng,
+        )
+
+    def sample_point(self, params, wavelength, rng: RNGState):
+        shape = rng.stream.shape
+        (ray_pos, ray_nrm, local_pos, local_nrm, contrib), rng = (
+            self._sample_surface(params, rng)
+        )
+        return (
+            CameraSample(
+                position=ray_pos,
+                normal=ray_nrm,
+                contrib=contrib,
+                object_id=_ids(shape),
+                obj_position=local_pos,
+                obj_normal=local_nrm,
+            ),
+            rng,
+        )
+
+    def ray_from_point(self, params, cam: CameraSample, light_dir, wavelength):
+        shape = cam.contrib.shape
+        cos_theta = dot(light_dir, -cam.normal)
+        contrib = cam.contrib * cos_theta
+        contrib = contrib * (dot(cam.normal, light_dir) < 0.0).astype(jnp.float32)
+        hit_dir = light_dir @ params["w2o"][:3, :3].T
+        return CameraRay(
+            position=cam.position,
+            direction=-light_dir,
+            contrib=contrib,
+            time_delta=jnp.broadcast_to(params["timeDelta"], shape),
+            hit_position=cam.obj_position,
+            hit_direction=hit_dir,
+            hit_normal=cam.obj_normal,
             object_id=cam.object_id,
         )
 
