@@ -252,6 +252,7 @@ class PencilLightSource(LightSource):
     supportBackward = False
     nRNGForward = 1
     _param_names = ("position", "direction", "budget", "timeRange")
+    _extra_names = ("stokes", "polarizationRef")
 
     def __init__(
         self,
@@ -260,11 +261,17 @@ class PencilLightSource(LightSource):
         direction=(0.0, 0.0, 1.0),
         timeRange=(0.0, 100.0),
         budget: float = 1.0,
+        stokes=None,
+        polarizationRef=None,
     ) -> None:
         self.position = position
         self.direction = direction
         self.timeRange = timeRange
         self.budget = budget
+        # optional constant polarization state (reference: src/theia/light.py
+        # PencilLightSource stokes/polarizationRef)
+        self.stokes = stokes
+        self.polarizationRef = polarizationRef
 
     def sample_forward(self, params, wavelength, constants, rng: RNGState):
         uu, rng = rng.uniform()
@@ -273,7 +280,15 @@ class PencilLightSource(LightSource):
         pos = jnp.broadcast_to(params["position"], (*start.shape, 3))
         direction = jnp.broadcast_to(params["direction"], pos.shape)
         contrib = jnp.broadcast_to(params["budget"], start.shape)
-        return SourceRay(pos, direction, start, contrib), rng
+        stokes = pol_ref = None
+        if self.stokes is not None:
+            stokes = jnp.broadcast_to(
+                jnp.asarray(self.stokes, jnp.float32), (*start.shape, 4)
+            )
+            pol_ref = jnp.broadcast_to(
+                jnp.asarray(self.polarizationRef, jnp.float32), pos.shape
+            )
+        return SourceRay(pos, direction, start, contrib, stokes, pol_ref), rng
 
 
 class ConeLightSource(LightSource):

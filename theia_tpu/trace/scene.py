@@ -30,8 +30,16 @@ from ..component import Component, TraceConfig
 from ..light import LightSource, WavelengthSource
 from ..material import MaterialFlags, packed_medium_constants, lookup_packed
 from ..lookup import lookup
-from ..ops.math3d import dot, normalize
+from ..ops.math3d import dot, local_frame, normalize
 from ..ops.sampling import scatter_dir
+from ..polarization import (
+    apply_phase_matrix,
+    apply_polarizer,
+    apply_rotation,
+    polarizer_coeffs,
+    rotate_pol_ref,
+    unpolarized_stokes,
+)
 from ..random import PhiloxRNG, RNGState
 from ..scene import Scene, ScenePack
 from ..target import TargetGuide
@@ -57,6 +65,38 @@ _DETECTOR = int(MaterialFlags.DETECTOR)
 _NO_R_FWD = int(MaterialFlags.NO_REFLECT_FWD)
 _NO_T_FWD = int(MaterialFlags.NO_TRANSMIT_FWD)
 _VOLUME = int(MaterialFlags.VOLUME_BORDER)
+
+
+def _phase_matrix_packed(store, handle, cos_theta):
+    """(m12, m22, m33, m34) from the packed per-medium tables
+    (reference: polarization.glsl:88-107)."""
+    t = 0.5 * (cos_theta + 1.0)
+
+    def g(kind):
+        return lookup_packed(store.tables[kind], store.sizes[kind], handle, t, 0.0)
+
+    return g("phase_m12"), g("phase_m22"), g("phase_m33"), g("phase_m34")
+
+
+def _pol_scatter_packed(store, handle, direction, new_dir, pol):
+    """Rotate to the scattering plane and apply the phase matrix
+    (reference: ray.scatter.glsl:46-69)."""
+    stokes, pol_ref = pol
+    cos_theta = dot(direction, new_dir)
+    m12, m22, m33, m34 = _phase_matrix_packed(store, handle, cos_theta)
+    new_ref, c, s = rotate_pol_ref(direction, pol_ref, new_dir)
+    stokes = apply_phase_matrix(
+        apply_rotation(stokes, c, s), m12, m22, m33, m34
+    )
+    return stokes, new_ref
+
+
+def _pol_align(direction, pol, hit_normal):
+    """Rotate the frame perpendicular to the plane of incidence
+    (reference: ray.propagate.glsl:187-201 alignRayToHit)."""
+    stokes, pol_ref = pol
+    new_ref, c, s = rotate_pol_ref(direction, pol_ref, hit_normal)
+    return apply_rotation(stokes, c, s), new_ref
 
 
 def _merge_dim(after: RNGState, before: RNGState, take_after) -> RNGState:
@@ -270,7 +310,8 @@ class SceneForwardTracer(Component):
         return direction, pdf, log_p
 
     def _create_response_item(
-        self, p, ray: RayState, hit: SurfaceHit, r_s, r_p, n_i, n_t, absorb
+        self, p, ray: RayState, hit: SurfaceHit, r_s, r_p, n_i, n_t, absorb,
+        pol=None,
     ) -> tuple[HitItem, jax.Array]:
         """Build the detector HitItem, emulating transmission where the
         surface is not absorbing (reference: scene.traverse.glsl:31-69).
@@ -278,13 +319,26 @@ class SceneForwardTracer(Component):
         transmittance = 1.0 - 0.5 * (r_s * r_s + r_p * r_p)
         lin = jnp.where(absorb, ray.lin_contrib, ray.lin_contrib * transmittance)
         ray = replace(ray, lin_contrib=lin)
+        if pol is not None:
+            # align perpendicular to the plane of incidence, then apply the
+            # transmission polarizer for non-absorbing detectors
+            # (reference: ray.surface.glsl transmitRay polarized)
+            stokes, pol_ref = _pol_align(ray.direction, pol, hit.ray_nrm)
+            t_s = r_s + 1.0
+            t_p = (r_p + 1.0) * (n_i / n_t)
+            _, m12, m33 = polarizer_coeffs(t_p, t_s)
+            stokes = jnp.where(
+                absorb[..., None], stokes, apply_polarizer(stokes, m12, m33)
+            )
+            pol = (stokes, pol_ref)
         if self.useRefractedHitDir:
             eta = n_i / n_t
             refr = normalize(_refract(ray.direction, hit.ray_nrm, eta))
             direction = jnp.where(absorb[..., None], ray.direction, refr)
             ray = replace(ray, direction=direction)
         item = create_hit(
-            ray, hit.obj_pos, hit.obj_nrm, hit.custom_id, hit.world_to_obj
+            ray, hit.obj_pos, hit.obj_nrm, hit.custom_id, hit.world_to_obj,
+            pol=pol,
         )
         return item, item.contrib > 0.0
 
@@ -297,7 +351,8 @@ class SceneForwardTracer(Component):
         return update_ray(moved, dist, prop)
 
     def _shadow_response(
-        self, p, resp_state, ray: RayState, hit: SurfaceHit, mask, rng, prop
+        self, p, resp_state, ray: RayState, hit: SurfaceHit, mask, rng, prop,
+        pol=None,
     ):
         """processShadowRay: response if the shadow ray reached the target
         (reference: scene.traverse.glsl:160-183)."""
@@ -311,7 +366,7 @@ class SceneForwardTracer(Component):
         n_i, n_t, r_s, r_p = self._fresnel(pack, moved, hit)
         absorb = (hit.flags & jnp.uint32(_BLACK)) != 0
         item, pos_mask = self._create_response_item(
-            p, moved, hit, r_s, r_p, n_i, n_t, absorb
+            p, moved, hit, r_s, r_p, n_i, n_t, absorb, pol=pol
         )
         ok &= pos_mask
         rng_after = rng
@@ -342,7 +397,21 @@ class SceneForwardTracer(Component):
             log_contrib=jnp.zeros_like(lam),
             constants=constants,
         )
-        return ray, src_medium, rng
+        if self.polarized:
+            # unpolarized sources get a frame from the local basis
+            # (reference: lightsource.common.glsl createSourceRay)
+            stokes = (
+                src.stokes if src.stokes is not None else unpolarized_stokes(lam.shape)
+            )
+            pol_ref = (
+                src.pol_ref
+                if src.pol_ref is not None
+                else local_frame(src.direction)[0]
+            )
+            pol = (stokes, pol_ref)
+        else:
+            pol = None
+        return ray, src_medium, pol, rng
 
     # -- the traced program ---------------------------------------------
 
@@ -357,7 +426,7 @@ class SceneForwardTracer(Component):
             dim=jnp.zeros_like(streams),
         )
 
-        ray, medium, rng = self._sample_initial(p, pack, streams, rng)
+        ray, medium, pol, rng = self._sample_initial(p, pack, streams, rng)
 
         resp_state = self.response.init()
         cb_state = self.callback.init(streams.shape[0], self.maxPathLength + 2)
@@ -375,7 +444,9 @@ class SceneForwardTracer(Component):
         )
 
         def body(i, carry):
-            ray, medium, alive, allow_response, rng, resp_state, cb_state = carry
+            ray, medium, alive, allow_response, pol, rng, resp_state, cb_state = (
+                carry
+            )
             pre_alive = alive
             last = i == self.maxPathLength - 1  # traced bool
 
@@ -409,7 +480,7 @@ class SceneForwardTracer(Component):
                     & (hit.error == 0)
                 )
                 resp_state, rng = self._shadow_response(
-                    p, resp_state, ray, hit, ext_mask, rng, prop
+                    p, resp_state, ray, hit, ext_mask, rng, prop, pol=pol
                 )
                 hit = replace(hit, valid=hit.valid & ~ext_mask)
                 travel = jnp.where(ext_mask, sampled_dist, travel)
@@ -448,8 +519,17 @@ class SceneForwardTracer(Component):
                 & is_target
                 & ((target_id < 0) | (hit.custom_id == target_id))
             )
+            # align the polarization frame perpendicular to the plane of
+            # incidence on surface lanes (alignRayToHit); uses the incident
+            # direction — must happen before the new direction is chosen
+            if pol is not None:
+                a_stokes, a_ref = _pol_align(ray.direction, pol, hit.ray_nrm)
+                pol = (
+                    jnp.where(surf[..., None], a_stokes, pol[0]),
+                    jnp.where(surf[..., None], a_ref, pol[1]),
+                )
             item, pos_ok = self._create_response_item(
-                p, ray, hit, r_s, r_p, n_i, n_t, is_abs
+                p, ray, hit, r_s, r_p, n_i, n_t, is_abs, pol=pol
             )
             rng_b = rng
             resp_state, rng_a = self.response.record(
@@ -542,6 +622,25 @@ class SceneForwardTracer(Component):
                     sel_transmit, ray.log_contrib + trans_corr, ray.log_contrib
                 ),
             )
+            if pol is not None:
+                # Fresnel polarizers in the (already aligned) incidence frame;
+                # the reference frame itself is preserved by both outcomes
+                # (reference: ray.surface.glsl reflectRay/transmitRay)
+                stokes, pol_ref = pol
+                _, m12_r, m33_r = polarizer_coeffs(r_p, r_s)
+                t_s = r_s + 1.0
+                t_p = (r_p + 1.0) * eta
+                _, m12_t, m33_t = polarizer_coeffs(t_p, t_s)
+                stokes = jnp.where(
+                    sel_reflect[..., None],
+                    apply_polarizer(stokes, m12_r, m33_r),
+                    jnp.where(
+                        sel_transmit[..., None],
+                        apply_polarizer(stokes, m12_t, m33_t),
+                        stokes,
+                    ),
+                )
+                pol = (stokes, pol_ref)
             medium = new_medium
             new_constants = packed_medium_constants(
                 pack.media, medium, ray.wavelength
@@ -600,8 +699,16 @@ class SceneForwardTracer(Component):
                     s_hit = intersect_scene(
                         pack, medium, shadow.position, s_dir, s_dist
                     )
+                    shadow_pol = (
+                        _pol_scatter_packed(
+                            pack.media, medium, ray.direction, s_dir, pol
+                        )
+                        if pol is not None
+                        else None
+                    )
                     resp_state, rng = self._shadow_response(
-                        p, resp_state, shadow, s_hit, miss, rng, prop
+                        p, resp_state, shadow, s_hit, miss, rng, prop,
+                        pol=shadow_pol,
                     )
                 rng = _merge_dim(rng, rng_b, miss)
 
@@ -612,6 +719,14 @@ class SceneForwardTracer(Component):
                 pack, medium, ray.direction, su1, su2
             )
             scat_corr = scat_log_p - sg(scat_log_p)
+            if pol is not None:
+                s_stokes, s_ref = _pol_scatter_packed(
+                    pack.media, medium, ray.direction, scat_dir, pol
+                )
+                pol = (
+                    jnp.where(miss[..., None], s_stokes, pol[0]),
+                    jnp.where(miss[..., None], s_ref, pol[1]),
+                )
             ray = replace(
                 ray,
                 direction=jnp.where(miss[..., None], scat_dir, ray.direction),
@@ -672,10 +787,12 @@ class SceneForwardTracer(Component):
             else:
                 allow_response = jnp.ones_like(allow_response)
 
-            return ray, medium, alive, allow_response, rng, resp_state, cb_state
+            return (
+                ray, medium, alive, allow_response, pol, rng, resp_state, cb_state
+            )
 
-        carry = (ray, medium, alive, allow_response, rng, resp_state, cb_state)
-        ray, medium, alive, allow_response, rng, resp_state, cb_state = (
+        carry = (ray, medium, alive, allow_response, pol, rng, resp_state, cb_state)
+        ray, medium, alive, allow_response, pol, rng, resp_state, cb_state = (
             lax.fori_loop(0, self.maxPathLength, body, carry)
         )
         cb_state = self.callback.on_event(

@@ -77,6 +77,11 @@ class SceneBackwardTargetTracer(SceneForwardTracer):
     ) -> None:
         self.camera = camera
         kwargs.pop("disableDirectLighting", None)
+        if kwargs.get("polarized"):
+            raise NotImplementedError(
+                "polarized backward scene tracing (Mueller transport) is not "
+                "yet supported"
+            )
         # reference accounting (trace.py:1729-1738)
         super().__init__(
             batchSize,
@@ -111,7 +116,10 @@ class SceneBackwardTargetTracer(SceneForwardTracer):
             log_contrib=jnp.zeros_like(lam),
             constants=constants,
         )
-        return ray, medium, rng
+        # polarized backward rays would carry a Mueller matrix instead of a
+        # Stokes vector (reference: ray.glsl PolarizedBackwardRay); not yet
+        # supported here — guarded in __init__.
+        return ray, medium, None, rng
 
     def params(self):
         p = super().params()
