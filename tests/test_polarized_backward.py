@@ -1,0 +1,101 @@
+"""Polarized (Mueller) backward transport in VolumeBackwardTracer.
+
+The backward ray accumulates a Mueller matrix (reference: ray.scatter.glsl
+backward specialization, ray.combine.glsl combineRaysAligned); at each
+light connection the source Stokes vector is transported through the
+chain and S0 folds into the contribution."""
+
+import numpy as np
+import pytest
+
+from theia_tpu.camera import SphereCamera
+from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+from theia_tpu.material import (
+    HenyeyGreensteinPhaseFunction,
+    KokhanovskyOceanWaterPhaseMatrix,
+    MediumModel,
+    WaterBaseModel,
+)
+from theia_tpu.random import PhiloxRNG
+from theia_tpu.response import HistogramHitResponse, HitRecorder
+from theia_tpu.testing import WaterTestModel
+from theia_tpu.trace.backward import VolumeBackwardTracer
+
+
+class PolWater(
+    WaterBaseModel,
+    HenyeyGreensteinPhaseFunction,
+    KokhanovskyOceanWaterPhaseMatrix,
+    MediumModel,
+):
+    def __init__(self, g=0.4):
+        WaterBaseModel.__init__(self, 10.0, 0.0, 35.0)
+        HenyeyGreensteinPhaseFunction.__init__(self, g)
+        KokhanovskyOceanWaterPhaseMatrix.__init__(
+            self, p90=0.66, theta0=0.25, alpha=4.0, xi=25.6
+        )
+
+
+def run(medium, polarized, response, key=0xD00D):
+    tracer = VolumeBackwardTracer(
+        16 * 1024,
+        SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e9),
+        SphereCamera(position=(20.0, 0.0, 0.0), radius=5.0),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        response,
+        PhiloxRNG(key=key),
+        medium=medium,
+        nScattering=8,
+        maxTime=250.0,
+        polarized=polarized,
+    )
+    return tracer.run()
+
+
+def test_scalar_medium_invariance():
+    """Without phase-matrix tables the Mueller chain must not alter S0:
+    polarized and unpolarized runs give identical light curves."""
+    medium = WaterTestModel(mu_a=0.002, mu_s=0.02, g=0.4).createMedium()
+    h_u, _ = run(medium, False, HistogramHitResponse(nBins=50, binSize=5.0, t0=0.0))
+    h_p, _ = run(medium, True, HistogramHitResponse(nBins=50, binSize=5.0, t0=0.0))
+    h_u, h_p = np.asarray(h_u), np.asarray(h_p)
+    assert h_u.sum() > 0
+    assert np.allclose(h_u, h_p, rtol=1e-4, atol=1e-3 * h_u.max())
+
+
+def test_mueller_chain_physical():
+    """With a real ocean-water Mueller matrix the detected Stokes vectors
+    must be physical (finite, S0-normalized, DoP <= 1) and the scattered
+    light partially polarized."""
+    medium = PolWater().createMedium(name="pol_water")
+    rec = HitRecorder(polarized=True)
+    hits, _ = run(medium, True, rec)
+    v = np.asarray(hits["valid"])
+    st = np.asarray(hits["stokes"])[v]
+    assert len(st) > 1000
+    assert np.isfinite(st).all()
+    assert np.allclose(st[:, 0], 1.0, atol=1e-4)
+    dop = np.sqrt((st[:, 1:] ** 2).sum(-1))
+    assert (dop <= 1.0 + 1e-3).all()
+    assert dop.mean() > 0.01  # scattering polarizes
+
+
+def test_unsupported_camera_raises():
+    from theia_tpu.camera import ConeCamera
+    from theia_tpu.response import HistogramHitResponse
+
+    medium = WaterTestModel(mu_a=0.0, mu_s=0.01, g=0.0).createMedium()
+    tracer = VolumeBackwardTracer(
+        256,
+        SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1.0),
+        ConeCamera(position=(5.0, 0.0, 0.0), direction=(-1.0, 0.0, 0.0)),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        HistogramHitResponse(nBins=10, binSize=10.0, t0=0.0),
+        PhiloxRNG(key=1),
+        medium=medium,
+        nScattering=4,
+        polarized=True,
+        disableDirectLighting=True,
+    )
+    with pytest.raises(ValueError, match="polarization frames"):
+        tracer.run()

@@ -34,6 +34,7 @@ from .ops.sampling import (
     sample_hemisphere,
     sample_unit_sphere,
 )
+from .polarization import rotation_coeffs, rotation_mueller
 from .random import RNGState
 
 __all__ = [
@@ -66,6 +67,9 @@ class CameraRay:
     object_id: jax.Array  # i32[N]
     pol_ref: jax.Array | None = None  # f32[N,3]
     hit_pol_ref: jax.Array | None = None  # f32[N,3]
+    # rotation mapping the world frame onto the (object-space) hit frame;
+    # seeds the backward ray's accumulated Mueller matrix
+    mueller: jax.Array | None = None  # f32[N,4,4]
 
 
 @jax.tree_util.register_dataclass
@@ -86,6 +90,38 @@ class CameraSample:
 
 def _ids(shape, value=-1):
     return jnp.full(shape, value, jnp.int32)
+
+
+def _pol_fields(ray_dir, world_nrm, hit_dir, hit_nrm, o2w_lin=None):
+    """Polarization frames for a camera ray: world reference perpendicular
+    to the plane of incidence, object-space hit reference, and the Mueller
+    rotation aligning the world frame with the expected hit frame
+    (reference: camera.mesh.glsl sampleCameraRay POLARIZATION section;
+    identical construction in the other camera shaders)."""
+    hit_pol_ref = perpendicular_to2(hit_dir, hit_nrm)
+    pol_ref = perpendicular_to2(ray_dir, world_nrm)
+    exp = (
+        hit_pol_ref
+        if o2w_lin is None
+        else normalize(hit_pol_ref @ o2w_lin.T)
+    )
+    c, s = rotation_coeffs(-ray_dir, pol_ref, exp)
+    return pol_ref, hit_pol_ref, rotation_mueller(c, s)
+
+
+def _pol_fields_point(light_dir, world_nrm, hit_dir, hit_nrm, o2w_lin=None):
+    """Polarization frames for a direct connection through a camera point;
+    the photon travels along ``light_dir``
+    (reference: camera.mesh.glsl createCameraRay POLARIZATION section)."""
+    hit_pol_ref = perpendicular_to2(hit_dir, hit_nrm)
+    pol_ref = perpendicular_to2(light_dir, world_nrm)
+    exp = (
+        hit_pol_ref
+        if o2w_lin is None
+        else normalize(hit_pol_ref @ o2w_lin.T)
+    )
+    c, s = rotation_coeffs(light_dir, pol_ref, exp)
+    return pol_ref, hit_pol_ref, rotation_mueller(c, s)
 
 
 class Camera(Component):
@@ -150,6 +186,9 @@ class PencilCamera(Camera):
         shape = rng.stream.shape
         b = lambda k: jnp.broadcast_to(params[k], (*shape, 3))
         s = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32), shape)
+        pol_ref, hit_pol_ref, mueller = _pol_fields(
+            b("rayDirection"), b("hitNormal"), b("hitDirection"), b("hitNormal")
+        )
         return (
             CameraRay(
                 position=b("rayPosition"),
@@ -160,6 +199,9 @@ class PencilCamera(Camera):
                 hit_direction=b("hitDirection"),
                 hit_normal=b("hitNormal"),
                 object_id=_ids(shape),
+                pol_ref=pol_ref,
+                hit_pol_ref=hit_pol_ref,
+                mueller=mueller,
             ),
             rng,
         )
@@ -214,6 +256,11 @@ class FlatCamera(Camera):
             jnp.float32(TWO_PI) * params["width"] * params["length"] * cos_theta
         )
         z = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), local_pos.shape)
+        world_nrm = jnp.einsum("...ij,...j->...i", o2w, z)
+        hit_pol_ref = perpendicular_to2(local_dir, z)
+        pol_ref = perpendicular_to2(ray_dir, world_nrm)
+        exp = jnp.einsum("...ij,...j->...i", o2w, hit_pol_ref)
+        pc, ps = rotation_coeffs(-ray_dir, pol_ref, exp)
         return (
             CameraRay(
                 position=ray_pos,
@@ -224,6 +271,9 @@ class FlatCamera(Camera):
                 hit_direction=local_dir,
                 hit_normal=z,
                 object_id=_ids(shape),
+                pol_ref=pol_ref,
+                hit_pol_ref=hit_pol_ref,
+                mueller=rotation_mueller(pc, ps),
             ),
             rng,
         )
@@ -259,6 +309,10 @@ class FlatCamera(Camera):
         contrib = cam.contrib * cos_theta
         contrib = contrib * (dot(cam.normal, light_dir) < 0.0).astype(jnp.float32)
         z = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), local_pos.shape)
+        hit_pol_ref = perpendicular_to2(local_dir, z)
+        pol_ref = perpendicular_to2(light_dir, cam.normal)
+        exp = jnp.einsum("...ij,...j->...i", o2w, hit_pol_ref)
+        pc, ps = rotation_coeffs(light_dir, pol_ref, exp)
         return CameraRay(
             position=cam.position,
             direction=-light_dir,
@@ -268,6 +322,9 @@ class FlatCamera(Camera):
             hit_direction=local_dir,
             hit_normal=z,
             object_id=cam.object_id,
+            pol_ref=pol_ref,
+            hit_pol_ref=hit_pol_ref,
+            mueller=rotation_mueller(pc, ps),
         )
 
 
@@ -399,6 +456,9 @@ class SphereCamera(Camera):
         contrib = cos_theta * (
             jnp.float32(4.0 * np.pi * 2.0 * np.pi) * r * r
         )
+        pol_ref, hit_pol_ref, mueller = _pol_fields(
+            ray_dir, normal, -ray_dir, normal
+        )
         return (
             CameraRay(
                 position=ray_pos,
@@ -411,6 +471,9 @@ class SphereCamera(Camera):
                 hit_direction=-ray_dir,
                 hit_normal=normal,
                 object_id=_ids(shape),
+                pol_ref=pol_ref,
+                hit_pol_ref=hit_pol_ref,
+                mueller=mueller,
             ),
             rng,
         )
@@ -431,6 +494,9 @@ class SphereCamera(Camera):
         cos_theta = dot(light_dir, -cam.normal)
         contrib = cam.contrib * cos_theta
         contrib = contrib * (dot(cam.normal, light_dir) < 0.0).astype(jnp.float32)
+        pol_ref, hit_pol_ref, mueller = _pol_fields_point(
+            light_dir, cam.normal, light_dir, cam.normal
+        )
         return CameraRay(
             position=cam.position,
             direction=-light_dir,
@@ -440,6 +506,9 @@ class SphereCamera(Camera):
             hit_direction=light_dir,
             hit_normal=cam.normal,
             object_id=cam.object_id,
+            pol_ref=pol_ref,
+            hit_pol_ref=hit_pol_ref,
+            mueller=mueller,
         )
 
 
@@ -555,6 +624,9 @@ class MeshCamera(Camera):
         )
         ray_dir = normalize(local_dir @ params["o2w"][:3, :3].T)
         contrib = contrib * cos_theta * jnp.float32(TWO_PI)
+        pol_ref, hit_pol_ref, mueller = _pol_fields(
+            ray_dir, ray_nrm, -local_dir, local_nrm, params["o2w"][:3, :3]
+        )
         return (
             CameraRay(
                 position=ray_pos,
@@ -565,6 +637,9 @@ class MeshCamera(Camera):
                 hit_direction=-local_dir,
                 hit_normal=local_nrm,
                 object_id=_ids(shape),
+                pol_ref=pol_ref,
+                hit_pol_ref=hit_pol_ref,
+                mueller=mueller,
             ),
             rng,
         )
@@ -592,6 +667,9 @@ class MeshCamera(Camera):
         contrib = cam.contrib * cos_theta
         contrib = contrib * (dot(cam.normal, light_dir) < 0.0).astype(jnp.float32)
         hit_dir = light_dir @ params["w2o"][:3, :3].T
+        pol_ref, hit_pol_ref, mueller = _pol_fields_point(
+            light_dir, cam.normal, hit_dir, cam.obj_normal, params["o2w"][:3, :3]
+        )
         return CameraRay(
             position=cam.position,
             direction=-light_dir,
@@ -601,6 +679,9 @@ class MeshCamera(Camera):
             hit_direction=hit_dir,
             hit_normal=cam.obj_normal,
             object_id=cam.object_id,
+            pol_ref=pol_ref,
+            hit_pol_ref=hit_pol_ref,
+            mueller=mueller,
         )
 
 

@@ -26,6 +26,16 @@ from ..component import Component, TraceConfig
 from ..light import LightSource, SourceRay, WavelengthSource
 from ..material import Medium, medium_constants
 from ..ops.math3d import distance, dot, normalize
+from ..ops.math3d import local_frame
+from ..polarization import (
+    apply_rotation,
+    phase_matrix_elements,
+    phase_mueller,
+    rotate_pol_ref,
+    rotation_coeffs,
+    rotation_mueller,
+    unpolarized_stokes,
+)
 from ..random import PhiloxRNG, RNGState
 from ..target import Target
 from .core import (
@@ -48,6 +58,41 @@ if TYPE_CHECKING:
     from ..response import HitResponse
 
 __all__ = ["VolumeBackwardTracer"]
+
+
+def _light_pol(light, lam_shape):
+    """Stokes + reference frame of a backward light sample; unpolarized
+    default (reference: lightsource.common.glsl createSourceRay)."""
+    stokes = light.stokes if light.stokes is not None else unpolarized_stokes(lam_shape)
+    pol_ref = (
+        light.pol_ref
+        if light.pol_ref is not None
+        else local_frame(light.direction)[0]
+    )
+    return stokes, pol_ref
+
+
+def _mueller_scatter(medium, direction, new_dir, mueller, pol_ref):
+    """Backward scatter: mueller <- mueller @ rotate^T @ phase
+    (reference: ray.scatter.glsl _scatterPolRay_impl backward)."""
+    cos_theta = dot(direction, new_dir)
+    m12, m22, m33, m34 = phase_matrix_elements(medium, cos_theta)
+    new_ref, c, s = rotate_pol_ref(direction, pol_ref, new_dir)
+    rot_t = jnp.swapaxes(rotation_mueller(c, s), -1, -2)
+    new_mueller = mueller @ rot_t @ phase_mueller(m12, m22, m33, m34)
+    return new_mueller, new_ref
+
+
+def _connect_stokes(mueller, pol_ref, light):
+    """Transport the light's Stokes vector through the accumulated Mueller
+    chain; returns (stokes_normalized, S0)
+    (reference: ray.combine.glsl combineRaysAligned polarized)."""
+    l_stokes, l_ref = _light_pol(light, light.contrib.shape)
+    c, s = rotation_coeffs(light.direction, l_ref, pol_ref)
+    stokes = jnp.einsum("...ij,...j->...i", mueller, apply_rotation(l_stokes, c, s))
+    s0 = stokes[..., 0]
+    safe = jnp.where(jnp.abs(s0) > 1e-30, s0, 1.0)
+    return stokes / safe[..., None], s0
 
 
 def _merge_dim(after: RNGState, before: RNGState, take_after) -> RNGState:
@@ -110,6 +155,17 @@ def sample_direct(
         ray, cam_ray.position, cam_ray.contrib, cam_ray.time_delta, prop
     )
     ok &= c_ok
+    stokes = hit_pol_ref = None
+    if tracer.polarized:
+        if cam_ray.mueller is None:
+            raise ValueError(
+                f"camera {type(tracer.camera).__name__} does not provide "
+                "polarization frames"
+            )
+        stokes, s0 = _connect_stokes(cam_ray.mueller, cam_ray.pol_ref, light)
+        contrib = contrib * s0
+        ok &= contrib > 0.0
+        hit_pol_ref = cam_ray.hit_pol_ref
     item = HitItem(
         position=cam_ray.hit_position,
         direction=cam_ray.hit_direction,
@@ -118,6 +174,8 @@ def sample_direct(
         time=time,
         contrib=contrib,
         object_id=cam_ray.object_id,
+        stokes=stokes,
+        pol_ref=hit_pol_ref,
     )
     rng_b = rng
     resp_state, rng = tracer.response.record(p["response"], resp_state, item, ok, rng)
@@ -290,6 +348,15 @@ class VolumeBackwardTracer(Component):
         # sample the camera ray
         (lam, lam_c), rng = self.wavelengthSource.sample(p["photons"], rng)
         cam, rng = self.camera.sample_ray(p["camera"], lam, rng)
+        if self.polarized:
+            if cam.mueller is None:
+                raise ValueError(
+                    f"camera {type(self.camera).__name__} does not provide "
+                    "polarization frames"
+                )
+            pol = (cam.mueller, cam.pol_ref)
+        else:
+            pol = None
         constants = medium_constants(medium, lam)
         ray = RayState(
             position=cam.position,
@@ -312,7 +379,7 @@ class VolumeBackwardTracer(Component):
         i_path += 1
 
         def body(i, carry):
-            ray, alive, rng, resp_state, cb_state = carry
+            ray, alive, pol, rng, resp_state, cb_state = carry
             pre_alive = alive
 
             # trace (tracer.volume.backward.glsl:86-115)
@@ -349,6 +416,17 @@ class VolumeBackwardTracer(Component):
                 conn, light.position, light.contrib, light.start_time, prop
             )
             ok &= step_ok & visible
+            stokes = hit_pol_ref = None
+            if pol is not None:
+                # extend the mueller chain by the connection scatter, then
+                # transport the light's stokes vector through it
+                conn_mueller, conn_ref = _mueller_scatter(
+                    medium, ray.direction, -light.direction, pol[0], pol[1]
+                )
+                stokes, s0 = _connect_stokes(conn_mueller, conn_ref, light)
+                contrib = contrib * s0
+                ok &= contrib > 0.0
+                hit_pol_ref = cam.hit_pol_ref
             item = HitItem(
                 position=cam.hit_position,
                 direction=cam.hit_direction,
@@ -357,6 +435,8 @@ class VolumeBackwardTracer(Component):
                 time=time,
                 contrib=contrib,
                 object_id=cam.object_id,
+                stokes=stokes,
+                pol_ref=hit_pol_ref,
             )
             resp_state, rng = self.response.record(
                 p["response"], resp_state, item, ok, rng
@@ -397,6 +477,16 @@ class VolumeBackwardTracer(Component):
                     - lax.stop_gradient(log_p),
                 )
             do_scatter = alive & (i < self.nScattering - 2)
+            if pol is not None:
+                new_mueller, new_ref = _mueller_scatter(
+                    medium, ray.direction, new_dir, pol[0], pol[1]
+                )
+                m4 = do_scatter[..., None, None]
+                m3 = do_scatter[..., None]
+                pol = (
+                    jnp.where(m4, new_mueller, pol[0]),
+                    jnp.where(m3, new_ref, pol[1]),
+                )
             ray = jax.tree.map(
                 lambda new, old: jnp.where(
                     do_scatter.reshape(
@@ -409,12 +499,12 @@ class VolumeBackwardTracer(Component):
                 ray,
             )
             rng = _merge_dim(rng, rng_b, do_scatter)
-            return ray, alive, rng, resp_state, cb_state
+            return ray, alive, pol, rng, resp_state, cb_state
 
-        carry = (ray, alive, rng, resp_state, cb_state)
+        carry = (ray, alive, pol, rng, resp_state, cb_state)
         # the reference loop runs PATH_LENGTH-1 iterations: shadow rays
         # already extend every path by one segment
-        ray, alive, rng, resp_state, cb_state = lax.fori_loop(
+        ray, alive, pol, rng, resp_state, cb_state = lax.fori_loop(
             0, self.nScattering - 1, body, carry
         )
         cb_state = self.callback.on_event(
