@@ -81,14 +81,24 @@ def test_mueller_chain_physical():
 
 
 def test_unsupported_camera_raises():
-    from theia_tpu.camera import ConeCamera
+    from theia_tpu.camera import HostCamera
     from theia_tpu.response import HistogramHitResponse
 
     medium = WaterTestModel(mu_a=0.0, mu_s=0.01, g=0.0).createMedium()
+    n = 256
+    cam = HostCamera(
+        position=np.zeros((n, 3), np.float32) + (5.0, 0.0, 0.0),
+        direction=np.tile([-1.0, 0.0, 0.0], (n, 1)).astype(np.float32),
+        contrib=np.ones(n, np.float32),
+        timeDelta=np.zeros(n, np.float32),
+        hitPosition=np.zeros((n, 3), np.float32),
+        hitDirection=np.tile([1.0, 0.0, 0.0], (n, 1)).astype(np.float32),
+        hitNormal=np.tile([-1.0, 0.0, 0.0], (n, 1)).astype(np.float32),
+    )
     tracer = VolumeBackwardTracer(
         256,
         SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1.0),
-        ConeCamera(position=(5.0, 0.0, 0.0), direction=(-1.0, 0.0, 0.0)),
+        cam,
         UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
         HistogramHitResponse(nBins=10, binSize=10.0, t0=0.0),
         PhiloxRNG(key=1),
@@ -99,3 +109,40 @@ def test_unsupported_camera_raises():
     )
     with pytest.raises(ValueError, match="polarization frames"):
         tracer.run()
+
+
+def test_polarized_cone_light_direct():
+    """Polarized cone source through the direct connection: the camera
+    receives the source's Stokes vector rotated into the camera frame;
+    a fully Q-polarized source keeps DoP=1 on the unscattered path."""
+    from theia_tpu.light import ConeLightSource
+
+    medium = WaterTestModel(mu_a=0.0, mu_s=1e-6, g=0.0).createMedium()
+    rec = HitRecorder(polarized=True)
+    tracer = VolumeBackwardTracer(
+        4096,
+        ConeLightSource(
+            position=(0.0, 0.0, 0.0),
+            direction=(1.0, 0.0, 0.0),
+            cosOpeningAngle=0.8,
+            timeRange=(0.0, 0.0),
+            budget=1e6,
+            stokes=(1.0, 1.0, 0.0, 0.0),
+            polarizationRef=(0.0, 0.0, 1.0),
+        ),
+        SphereCamera(position=(20.0, 0.0, 0.0), radius=2.0),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        rec,
+        PhiloxRNG(key=0xFACE),
+        medium=medium,
+        nScattering=1,  # direct connections only
+        maxTime=250.0,
+        polarized=True,
+    )
+    hits, _ = tracer.run()
+    v = np.asarray(hits["valid"])
+    st = np.asarray(hits["stokes"])[v]
+    assert len(st) > 500
+    dop = np.sqrt((st[:, 1:] ** 2).sum(-1))
+    # pure rotations preserve full polarization on the unscattered path
+    assert np.allclose(dop, 1.0, atol=1e-3)

@@ -92,6 +92,21 @@ def _ids(shape, value=-1):
     return jnp.full(shape, value, jnp.int32)
 
 
+def _identity_mueller(shape):
+    return jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (*shape, 4, 4))
+
+
+def _perp_host(v):
+    """Host-side perpendicularTo (reference: math.glsl:58-64)."""
+    v = np.asarray(v, np.float64)
+    v = v / np.linalg.norm(v)
+    other = (
+        np.array([0.0, 1.0, 0.0]) if abs(v[1]) < 0.9 else np.array([1.0, 0.0, 0.0])
+    )
+    p = np.cross(v, other)
+    return p / np.linalg.norm(p)
+
+
 def _pol_fields(ray_dir, world_nrm, hit_dir, hit_nrm, o2w_lin=None):
     """Polarization frames for a camera ray: world reference perpendicular
     to the plane of incidence, object-space hit reference, and the Mueller
@@ -163,6 +178,8 @@ class PencilCamera(Camera):
         "hitPosition",
         "hitDirection",
         "hitNormal",
+        "rayPolRef",
+        "hitPolRef",
     )
 
     def __init__(
@@ -174,6 +191,8 @@ class PencilCamera(Camera):
         hitPosition=(0.0, 0.0, 0.0),
         hitDirection=(0.0, 0.0, -1.0),
         hitNormal=(0.0, 0.0, 1.0),
+        rayPolRef=None,
+        hitPolRef=None,
     ) -> None:
         self.rayPosition = rayPosition
         self.rayDirection = rayDirection
@@ -181,14 +200,25 @@ class PencilCamera(Camera):
         self.hitPosition = hitPosition
         self.hitDirection = hitDirection
         self.hitNormal = hitNormal
+        if rayPolRef is None:
+            rayPolRef = tuple(
+                np.asarray(_perp_host(rayDirection), np.float32)
+            )
+        if hitPolRef is None:
+            hitPolRef = tuple(
+                np.asarray(_perp_host(hitDirection), np.float32)
+            )
+        self.rayPolRef = rayPolRef
+        self.hitPolRef = hitPolRef
 
     def sample_ray(self, params, wavelength, rng: RNGState):
         shape = rng.stream.shape
         b = lambda k: jnp.broadcast_to(params[k], (*shape, 3))
         s = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32), shape)
-        pol_ref, hit_pol_ref, mueller = _pol_fields(
-            b("rayDirection"), b("hitNormal"), b("hitDirection"), b("hitNormal")
-        )
+        # explicit frames with identity mueller (reference: camera.pencil.glsl)
+        pol_ref = normalize(b("rayPolRef"))
+        hit_pol_ref = normalize(b("hitPolRef"))
+        mueller = _identity_mueller(shape)
         return (
             CameraRay(
                 position=b("rayPosition"),
@@ -366,6 +396,14 @@ class ConeCamera(Camera):
         )
         zero = jnp.zeros((*shape, 3), jnp.float32)
         z = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), zero.shape)
+        # reference: camera.cone.glsl:22-34 -- identity mueller, frame
+        # carried from local to world by the cone's basis
+        hit_pol_ref = perpendicular_to_z_and(local_dir)
+        pol_ref = (
+            hit_pol_ref[..., 0:1] * vx
+            + hit_pol_ref[..., 1:2] * vy
+            + hit_pol_ref[..., 2:3] * axis
+        )
         return (
             CameraRay(
                 position=jnp.broadcast_to(params["position"], (*shape, 3)),
@@ -376,6 +414,9 @@ class ConeCamera(Camera):
                 hit_direction=local_dir,
                 hit_normal=z,
                 object_id=_ids(shape),
+                pol_ref=pol_ref,
+                hit_pol_ref=hit_pol_ref,
+                mueller=_identity_mueller(shape),
             ),
             rng,
         )
@@ -407,6 +448,12 @@ class ConeCamera(Camera):
         )
         zero = jnp.zeros((*shape, 3), jnp.float32)
         z = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), zero.shape)
+        hit_pol_ref = perpendicular_to_z_and(hit_dir)
+        pol_ref = (
+            hit_pol_ref[..., 0:1] * vx
+            + hit_pol_ref[..., 1:2] * vy
+            + hit_pol_ref[..., 2:3] * axis
+        )
         return CameraRay(
             position=cam.position,
             direction=-light_dir,
@@ -416,6 +463,9 @@ class ConeCamera(Camera):
             hit_direction=hit_dir,
             hit_normal=z,
             object_id=cam.object_id,
+            pol_ref=pol_ref,
+            hit_pol_ref=hit_pol_ref,
+            mueller=_identity_mueller(shape),
         )
 
 
@@ -702,6 +752,9 @@ class PointCamera(Camera):
         (u1, u2), rng = rng.uniform2d()
         direction = sample_unit_sphere(u1, u2)
         zero = jnp.zeros((*shape, 3), jnp.float32)
+        # reference: camera.point.glsl:15-28 -- shared perpendicular frame,
+        # identity mueller
+        pol_ref = perpendicular_to(direction)
         return (
             CameraRay(
                 position=jnp.broadcast_to(params["position"], (*shape, 3)),
@@ -712,6 +765,9 @@ class PointCamera(Camera):
                 hit_direction=-direction,
                 hit_normal=direction,
                 object_id=_ids(shape),
+                pol_ref=pol_ref,
+                hit_pol_ref=pol_ref,
+                mueller=_identity_mueller(shape),
             ),
             rng,
         )

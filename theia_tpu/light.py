@@ -318,12 +318,18 @@ class ConeLightSource(LightSource):
         cosOpeningAngle: float = 0.5,
         timeRange=(0.0, 100.0),
         budget: float = 1.0,
+        stokes=None,
+        polarizationRef=None,
     ) -> None:
         self.position = position
         self.direction = direction
         self.cosOpeningAngle = cosOpeningAngle
         self.timeRange = timeRange
         self.budget = budget
+        # optional constant polarization state (reference: src/theia/light.py
+        # ConeLightSource stokes/polarizationReference)
+        self.stokes = stokes
+        self.polarizationRef = polarizationRef
         self.update()
 
     def update(self) -> None:
@@ -354,7 +360,22 @@ class ConeLightSource(LightSource):
         start = t0 * (1.0 - v) + t1 * v
         pos = jnp.broadcast_to(params["position"], direction.shape)
         contrib = jnp.broadcast_to(params["_contribFwd"], start.shape)
-        return SourceRay(pos, direction, start, contrib), rng
+        stokes, pol_ref = self._pol(direction, start.shape)
+        return SourceRay(pos, direction, start, contrib, stokes, pol_ref), rng
+
+    def _pol(self, direction, shape):
+        """Constant stokes with the reference frame re-orthogonalized
+        against each ray (reference: lightsource.cone.glsl:47-59)."""
+        if self.stokes is None:
+            return None, None
+        stokes = jnp.broadcast_to(
+            jnp.asarray(self.stokes, jnp.float32), (*shape, 4)
+        )
+        ref = jnp.broadcast_to(
+            jnp.asarray(self.polarizationRef, jnp.float32), direction.shape
+        )
+        ref = ref - dot(ref, direction)[..., None] * direction
+        return stokes, normalize(ref)
 
     def sample_backward(self, params, observer, normal, wavelength, constants, rng):
         pos = jnp.broadcast_to(params["position"], observer.shape)
@@ -369,7 +390,8 @@ class ConeLightSource(LightSource):
         uu, rng = rng.uniform()
         t0, t1 = params["timeRange"][0], params["timeRange"][1]
         start = t0 * (1.0 - uu) + t1 * uu
-        return SourceRay(pos, direction, start, contrib), rng
+        stokes, pol_ref = self._pol(direction, start.shape)
+        return SourceRay(pos, direction, start, contrib, stokes, pol_ref), rng
 
 
 class HostLightSource(LightSource):

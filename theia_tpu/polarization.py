@@ -84,10 +84,13 @@ def rotate_pol_ref(direction, ref, new_direction):
 
 def phase_matrix_elements(medium: Medium | None, cos_theta):
     """(m12, m22, m33, m34) at the scattering angle
-    (reference: polarization.glsl:88-107)."""
+    (reference: polarization.glsl:88-107). A null *medium* yields the
+    identity matrix; a medium with null tables yields the depolarizer
+    (lookUp null default 0), both as in the reference."""
     if medium is None:
         zeros = jnp.zeros_like(jnp.asarray(cos_theta, jnp.float32))
-        return zeros, zeros, zeros, zeros
+        ones = jnp.ones_like(zeros)
+        return zeros, ones, ones, zeros
     t = 0.5 * (cos_theta + 1.0)
     m12 = lookup(medium.phase_m12, t, 0.0)
     m22 = lookup(medium.phase_m22, t, 0.0)
