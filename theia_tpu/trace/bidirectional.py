@@ -249,7 +249,7 @@ class BidirectionalPathTracer(Component):
                 ray,
                 position=jnp.where(surf[..., None], hit.world_pos, ray.position),
             )
-            ray, medium, code2, absorbed, rng = fwd_surface(
+            ray, medium, code2, absorbed, rng, _ = fwd_surface(
                 p, prop, pack, ray, medium, hit, surf, rng
             )
             miss = pre_alive & in_bounds & ~hit.valid & ~last
@@ -389,7 +389,7 @@ class BidirectionalPathTracer(Component):
                 cray,
                 position=jnp.where(surf[..., None], hit.world_pos, cray.position),
             )
-            cray, cmedium, code2, absorbed, rng = bwd_surface(
+            cray, cmedium, code2, absorbed, rng, _ = bwd_surface(
                 p, prop, pack, cray, cmedium, hit, surf, rng
             )
             rng_b = rng

@@ -30,6 +30,15 @@ from ..light import LightSource, WavelengthSource
 from ..material import MaterialFlags, packed_medium_constants
 from ..ops.math3d import dot
 from ..ops.sampling import scatter_dir
+from ..polarization import (
+    apply_rotation,
+    polarizer_coeffs,
+    polarizer_mueller,
+    rotate_pol_ref,
+    rotation_coeffs,
+    rotation_mueller,
+    unpolarized_stokes,
+)
 from ..random import PhiloxRNG, RNGState
 from ..scene import Scene
 from ..target import TargetGuide
@@ -297,6 +306,15 @@ class SceneBackwardTracer(Component):
 
         (lam, lam_c), rng = self.wavelengthSource.sample(p["photons"], rng)
         cam, rng = self.camera.sample_ray(p["camera"], lam, rng)
+        if self.polarized:
+            if cam.mueller is None:
+                raise ValueError(
+                    f"camera {type(self.camera).__name__} does not provide "
+                    "polarization frames"
+                )
+            pol = (cam.mueller, cam.pol_ref)
+        else:
+            pol = None
         medium = jnp.full(
             streams.shape, pack.media.handle(cam_medium_name), jnp.int32
         )
@@ -327,7 +345,7 @@ class SceneBackwardTracer(Component):
         )
 
         def body(i, carry):
-            ray, medium, alive, rng, resp_state, cb_state = carry
+            ray, medium, alive, pol, rng, resp_state, cb_state = carry
             pre_alive = alive
             bad = ray.is_bad()
             alive = alive & ~bad
@@ -348,8 +366,9 @@ class SceneBackwardTracer(Component):
                 position=jnp.where(surf[..., None], hit.world_pos, ray.position),
             )
             # surface interaction (backward flags, eta^2 on transmission)
-            ray, medium, code2, absorbed_surf, rng = surf_tracer(
-                p, prop, pack, ray, medium, hit, surf, rng
+            # capture the incident direction for the Mueller alignment
+            ray, medium, code2, absorbed_surf, rng, pol = surf_tracer(
+                p, prop, pack, ray, medium, hit, surf, rng, pol
             )
 
             miss = pre_alive & in_bounds & ~hit.valid
@@ -386,6 +405,16 @@ class SceneBackwardTracer(Component):
                 conn, light.position, light.contrib, light.start_time, prop
             )
             ok &= miss & visible
+            stokes = hit_pol_ref = None
+            if pol is not None:
+                conn_mueller, conn_ref = _mueller_scatter_packed(
+                    pack.media, medium, ray.direction, -light.direction,
+                    pol[0], pol[1],
+                )
+                stokes, s0 = _connect_stokes_bwd(conn_mueller, conn_ref, light)
+                contrib = contrib * s0
+                ok &= contrib > 0.0
+                hit_pol_ref = cam.hit_pol_ref
             item = HitItem(
                 position=cam.hit_position,
                 direction=cam.hit_direction,
@@ -394,6 +423,8 @@ class SceneBackwardTracer(Component):
                 time=time,
                 contrib=contrib,
                 object_id=cam.object_id,
+                stokes=stokes,
+                pol_ref=hit_pol_ref,
             )
             resp_state, rng = self.response.record(
                 p["response"], resp_state, item, ok, rng
@@ -404,6 +435,14 @@ class SceneBackwardTracer(Component):
             rng_b = rng
             (s1, s2), rng = rng.uniform2d()
             new_dir, _, scat_log_p = _sample_phase(pack, medium, ray.direction, s1, s2)
+            if pol is not None:
+                new_mueller, new_ref = _mueller_scatter_packed(
+                    pack.media, medium, ray.direction, new_dir, pol[0], pol[1]
+                )
+                pol = (
+                    jnp.where(miss[..., None, None], new_mueller, pol[0]),
+                    jnp.where(miss[..., None], new_ref, pol[1]),
+                )
             ray = replace(
                 ray,
                 direction=jnp.where(miss[..., None], new_dir, ray.direction),
@@ -424,11 +463,11 @@ class SceneBackwardTracer(Component):
             cb_state = self.callback.on_event(
                 p["callback"], cb_state, ray, code, pre_alive, i_path + i
             )
-            return ray, medium, alive, rng, resp_state, cb_state
+            return ray, medium, alive, pol, rng, resp_state, cb_state
 
-        carry = (ray, medium, alive, rng, resp_state, cb_state)
+        carry = (ray, medium, alive, pol, rng, resp_state, cb_state)
         # PATH_LENGTH - 1 iterations: shadow rays extend every path by one
-        ray, medium, alive, rng, resp_state, cb_state = lax.fori_loop(
+        ray, medium, alive, pol, rng, resp_state, cb_state = lax.fori_loop(
             0, self.maxPathLength - 1, body, carry
         )
         cb_state = self.callback.on_event(
@@ -485,6 +524,44 @@ def _sample_phase(pack, medium, direction, u1, u2):
     return direction_new, jnp.exp(log_p), log_p
 
 
+def _mueller_scatter_packed(store, handle, direction, new_dir, mueller, pol_ref):
+    """Backward volume scatter on the accumulated Mueller chain using the
+    packed per-medium phase matrices: mueller <- mueller @ rotate^T @ phase
+    (reference: ray.scatter.glsl _scatterPolRay_impl backward)."""
+    from ..polarization import phase_mueller
+    from .scene import _phase_matrix_packed
+
+    cos_theta = dot(direction, new_dir)
+    m12, m22, m33, m34 = _phase_matrix_packed(store, handle, cos_theta)
+    new_ref, c, s = rotate_pol_ref(direction, pol_ref, new_dir)
+    rot_t = jnp.swapaxes(rotation_mueller(c, s), -1, -2)
+    return mueller @ rot_t @ phase_mueller(m12, m22, m33, m34), new_ref
+
+
+def _connect_stokes_bwd(mueller, pol_ref, light):
+    """Transport the light's Stokes through the Mueller chain
+    (reference: ray.combine.glsl combineRaysAligned polarized)."""
+    from ..ops.math3d import local_frame
+
+    l_stokes = (
+        light.stokes
+        if light.stokes is not None
+        else unpolarized_stokes(light.contrib.shape)
+    )
+    l_ref = (
+        light.pol_ref
+        if light.pol_ref is not None
+        else local_frame(light.direction)[0]
+    )
+    c, s = rotation_coeffs(light.direction, l_ref, pol_ref)
+    stokes = jnp.einsum(
+        "...ij,...j->...i", mueller, apply_rotation(l_stokes, c, s)
+    )
+    s0 = stokes[..., 0]
+    safe = jnp.where(jnp.abs(s0) > 1e-30, s0, 1.0)
+    return stokes / safe[..., None], s0
+
+
 def make_surface_interactor(
     *,
     no_r_bit: int = int(MaterialFlags.NO_REFLECT_BWD),
@@ -505,7 +582,7 @@ def make_surface_interactor(
     _NO_R = no_r_bit
     _NO_T = no_t_bit
 
-    def interact(p, prop, pack, ray, medium, hit, surf, rng):
+    def interact(p, prop, pack, ray, medium, hit, surf, rng, pol=None):
         flags = hit.flags
         is_abs = (flags & jnp.uint32(_BLACK)) != 0
         vol_border = ((flags & jnp.uint32(_VOL)) != 0) & (
@@ -555,6 +632,30 @@ def make_surface_interactor(
 
         sel_r = surf & ~is_abs & ~vol_border & do_reflect & can_reflect
         sel_t = surf & ~is_abs & ~vol_border & ~do_reflect & can_transmit
+        if pol is not None:
+            # align the chain to the plane of incidence, then extend by the
+            # Fresnel polarizer of the taken branch (reference:
+            # ray.propagate.glsl alignRayToHit backward + ray.surface.glsl)
+            mueller, pref = pol
+            a_ref, ac, as_ = rotate_pol_ref(ray.direction, pref, hit.ray_nrm)
+            rot_t = jnp.swapaxes(rotation_mueller(ac, as_), -1, -2)
+            m4 = surf[..., None, None]
+            mueller = jnp.where(m4, mueller @ rot_t, mueller)
+            pref = jnp.where(surf[..., None], a_ref, pref)
+            _, m12_r, m33_r = polarizer_coeffs(r_p, r_s)
+            t_s = r_s + 1.0
+            t_p = (r_p + 1.0) * eta
+            _, m12_t, m33_t = polarizer_coeffs(t_p, t_s)
+            mueller = jnp.where(
+                sel_r[..., None, None],
+                mueller @ polarizer_mueller(m12_r, m33_r),
+                jnp.where(
+                    sel_t[..., None, None],
+                    mueller @ polarizer_mueller(m12_t, m33_t),
+                    mueller,
+                ),
+            )
+            pol = (mueller, pref)
         new_medium = jnp.where(
             surf & (vol_border | sel_t), hit.medium_tr, medium
         )
@@ -598,6 +699,6 @@ def make_surface_interactor(
             jnp.int32(EventResultCode.RAY_HIT),
         )
         code = jnp.where(absorbed, jnp.int32(EventResultCode.RAY_ABSORBED), code)
-        return ray, new_medium, code, absorbed, rng
+        return ray, new_medium, code, absorbed, rng, pol
 
     return interact
