@@ -124,30 +124,52 @@ class PipelineScheduler:
     batch's (response result, callback result) tuple. ``lookahead`` batches
     are kept in flight: the asynchronous JAX dispatch computes them on
     device while the host converts earlier results.
+
+    Multiple pipelines may be scheduled together by passing a list of
+    ``(name, pipeline)`` tuples; tasks then address a pipeline by wrapping
+    their params as ``(name, params)`` or via ``DynamicTask.pipeline``
+    (reference: hephaistos.pipeline.PipelineScheduler multi-pipeline mode,
+    examples/03_multiple_lightsources.ipynb).
     """
 
     def __init__(
         self,
-        pipeline: Pipeline,
+        pipeline,
         *,
         processFn: Callable | None = None,
         lookahead: int = 2,
     ) -> None:
-        if not isinstance(pipeline, Pipeline):
-            pipeline = Pipeline(pipeline)
-        self.pipeline = pipeline
+        if isinstance(pipeline, list):
+            self.pipelines = {
+                name: (pl if isinstance(pl, Pipeline) else Pipeline(pl))
+                for name, pl in pipeline
+            }
+            self.pipeline = next(iter(self.pipelines.values()))
+        else:
+            if not isinstance(pipeline, Pipeline):
+                pipeline = Pipeline(pipeline)
+            self.pipeline = pipeline
+            self.pipelines = {None: pipeline}
         self.processFn = processFn
         self.lookahead = max(1, lookahead)
         self._batch = 0
 
+    def _resolve(self, name):
+        if name is None:
+            return self.pipeline
+        if name not in self.pipelines:
+            raise KeyError(f"unknown pipeline '{name}'")
+        return self.pipelines[name]
+
     def schedule(self, tasks: list) -> None:
-        """Run a list of tasks; each is a params dict or a DynamicTask."""
+        """Run a list of tasks; each is a params dict, a DynamicTask, or a
+        ``(pipeline_name, params_or_task)`` tuple."""
         queue = deque(tasks)
         in_flight: deque = deque()
 
         def drain_one():
-            task, out, p = in_flight.popleft()
-            tracer = self.pipeline.tracer
+            task, pl, out, p = in_flight.popleft()
+            tracer = pl.tracer
             result = (
                 tracer.response.result(p["response"], out[0]),
                 tracer.callback.result(p["callback"], out[1]),
@@ -157,29 +179,35 @@ class PipelineScheduler:
                 extra = task.processBatch(result)
                 task.batchesRemaining += extra
                 for _ in range(extra):
-                    launch(task)
+                    launch(task, pl)
                 if task.batchesRemaining == 0:
                     task.onTaskFinished()
             if self.processFn is not None:
                 self.processFn(0, self._batch, result)
             self._batch += 1
 
-        def launch(task):
+        def launch(task, pl):
             params = (
                 task.parameters if isinstance(task, DynamicTask) else task
             )
-            out, p = self.pipeline.run_async(params)
-            in_flight.append((task, out, p))
+            out, p = pl.run_async(params)
+            in_flight.append((task, pl, out, p))
 
         while queue or in_flight:
             while queue and len(in_flight) < self.lookahead:
                 task = queue.popleft()
+                name = None
+                if isinstance(task, tuple) and len(task) == 2 and (
+                    task[0] is None or isinstance(task[0], str)
+                ):
+                    name, task = task
+                pl = self._resolve(name)
                 if isinstance(task, DynamicTask):
                     task.batchesRemaining = task.initialBatchCount
                     for _ in range(task.initialBatchCount):
-                        launch(task)
+                        launch(task, pl)
                 else:
-                    launch(task)
+                    launch(task, pl)
             if in_flight:
                 drain_one()
 

@@ -10,7 +10,14 @@ from .core import (
 
 _LAZY = {
     "VolumeForwardTracer": ".volume",
-    "VolumeBackwardTracer": ".volume",
+    "VolumeBackwardTracer": ".backward",
+    "SceneForwardTracer": ".scene",
+    "SceneBackwardTracer": ".scene_backward",
+    "SceneBackwardTargetTracer": ".scene_backward",
+    "DirectLightTracer": ".direct",
+    "VolumePhotonTracer": ".photon",
+    "ScenePhotonTracer": ".photon",
+    "BidirectionalPathTracer": ".bidirectional",
 }
 
 
