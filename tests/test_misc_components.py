@@ -200,3 +200,40 @@ def test_mesh_camera():
     cam_in = MeshCamera(inst, inward=True)
     ray_in = sampleCameraRay(cam_in, 4096)
     assert (np.einsum("ij,ij->i", ray_in.direction, ray_in.hit_normal) > 0.0).all()
+
+
+def test_polarized_track_record():
+    """TrackRecordCallback(polarized=True): 11 columns with unit reference
+    frames (reference: TRACK_POLARIZED, trace.py:189-305)."""
+    import numpy as np
+
+    from theia_tpu.callback import TrackRecordCallback
+    from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+    from theia_tpu.random import PhiloxRNG
+    from theia_tpu.response import HistogramHitResponse
+    from theia_tpu.target import SphereTarget
+    from theia_tpu.testing import WaterTestModel
+    from theia_tpu.trace import VolumeForwardTracer
+
+    cb = TrackRecordCallback(polarized=True)
+    tr = VolumeForwardTracer(
+        512,
+        SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e6),
+        SphereTarget(position=(10.0, 0.0, 0.0), radius=3.0),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        HistogramHitResponse(nBins=20, binSize=10.0, t0=0.0),
+        PhiloxRNG(key=5),
+        medium=WaterTestModel(mu_a=0.001, mu_s=0.05, g=0.5).createMedium(),
+        nScattering=5,
+        maxTime=300.0,
+        polarized=True,
+        callback=cb,
+    )
+    _, tracks = tr.run()
+    tk = tracks["track"]
+    assert tk.shape[-1] == 11
+    lens = tracks["length"]
+    lane = int(np.argmax(lens))
+    seg = tk[lane, 1 : lens[lane] + 1]
+    assert np.allclose(seg[:, 4], 1.0)  # S0 normalized... stokes[0]
+    assert np.allclose(np.linalg.norm(seg[:, 8:11], axis=-1), 1.0, atol=1e-5)

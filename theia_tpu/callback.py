@@ -34,8 +34,11 @@ class TraceEventCallback(Component):
         return None
 
     def on_event(
-        self, params, state, ray: RayState, code: jax.Array, mask: jax.Array, i
+        self, params, state, ray: RayState, code: jax.Array, mask: jax.Array, i,
+        pol=None,
     ):
+        """``pol``: optional ``(stokes, pol_ref)`` of forward rays for
+        polarized track recording (reference: TRACK_POLARIZED)."""
         return state
 
     def result(self, params, state):
@@ -86,7 +89,7 @@ class EventStatisticCallback(TraceEventCallback):
     def init(self, batch_size: int, max_steps: int):
         return jnp.zeros(len(STAT_FIELDS), jnp.int32)
 
-    def on_event(self, params, state, ray, code, mask, i):
+    def on_event(self, params, state, ray, code, mask, i, pol=None):
         for c, field in _CODE_TO_FIELD.items():
             state = state.at[field].add(
                 jnp.sum((mask & (code == c)).astype(jnp.int32))
@@ -102,23 +105,43 @@ class EventStatisticCallback(TraceEventCallback):
 
 class TrackRecordCallback(TraceEventCallback):
     """Records full paths (position + time per step) for visualization
-    (reference: src/theia/trace.py:189-305, shader/callback.track.glsl)."""
+    (reference: src/theia/trace.py:189-305, shader/callback.track.glsl).
+
+    With ``polarized=True`` each step additionally stores the Stokes
+    vector and reference frame (11 columns: xyz t IQUV ref_xyz); steps
+    without polarization data store the unpolarized state and a zero
+    frame (reference: TRACK_POLARIZED, trace.py:200-202)."""
 
     name = "Track Record Callback"
 
+    def __init__(self, *, polarized: bool = False) -> None:
+        self.polarized = polarized
+
     def init(self, batch_size: int, max_steps: int):
         self._max_steps = max_steps
+        cols = 11 if self.polarized else 4
         return dict(
             length=jnp.zeros(batch_size, jnp.int32),
             code=jnp.zeros(batch_size, jnp.int32),
-            track=jnp.zeros((max_steps, batch_size, 4), jnp.float32),
+            track=jnp.zeros((max_steps, batch_size, cols), jnp.float32),
         )
 
-    def on_event(self, params, state, ray, code, mask, i):
+    def on_event(self, params, state, ray, code, mask, i, pol=None):
         record = mask & (code != int(EventResultCode.MAX_ITER))
         length = jnp.where(record, i, state["length"])
         new_code = jnp.where(record, code, state["code"])
         point = jnp.concatenate([ray.position, ray.time[..., None]], axis=-1)
+        if self.polarized:
+            n = point.shape[0]
+            if pol is not None:
+                stokes, pol_ref = pol
+            else:
+                stokes = jnp.concatenate(
+                    [jnp.ones((n, 1), jnp.float32), jnp.zeros((n, 3), jnp.float32)],
+                    axis=-1,
+                )
+                pol_ref = jnp.zeros((n, 3), jnp.float32)
+            point = jnp.concatenate([point, stokes, pol_ref], axis=-1)
         i_arr = jnp.asarray(i, jnp.int32)
 
         def write(track):

@@ -437,7 +437,7 @@ class SceneForwardTracer(Component):
             jnp.full_like(streams, int(EventResultCode.RAY_CREATED), jnp.int32),
             jnp.ones_like(streams, dtype=bool),
             0,
-        )
+         pol=pol,)
         alive = ~ray.is_bad()
         allow_response = jnp.full(
             streams.shape, not self.disableDirectLighting, dtype=bool
@@ -780,7 +780,7 @@ class SceneForwardTracer(Component):
                 alive = alive & survive
             cb_state = self.callback.on_event(
                 p["callback"], cb_state, ray, code, pre_alive, i + 1
-            )
+            , pol=pol)
 
             if mis:
                 allow_response = code != jnp.int32(EventResultCode.RAY_SCATTERED)
@@ -802,7 +802,7 @@ class SceneForwardTracer(Component):
             jnp.full_like(streams, int(EventResultCode.MAX_ITER), jnp.int32),
             alive,
             self.maxPathLength + 1,
-        )
+         pol=pol,)
         return resp_state, cb_state
 
     # -- host API --------------------------------------------------------

@@ -487,7 +487,7 @@ class VolumeForwardTracer(Component):
             jnp.full_like(streams, int(EventResultCode.RAY_CREATED), jnp.int32),
             all_lanes,
             0,
-        )
+         pol=pol,)
         occluded = self.target.occluded(p["target"], ray.position)
         cb_state = self.callback.on_event(
             p["callback"],
@@ -496,7 +496,7 @@ class VolumeForwardTracer(Component):
             jnp.full_like(streams, int(EventResultCode.ERROR_TRACE_ABORT), jnp.int32),
             occluded,
             0,
-        )
+         pol=pol,)
         alive = ~occluded & ~ray.is_bad()
 
         mis = not self.disableTargetSampling
@@ -532,7 +532,7 @@ class VolumeForwardTracer(Component):
         )
         cb_state = self.callback.on_event(
             p["callback"], cb_state, ray, code, pre_alive, 1
-        )
+        , pol=pol)
 
         allow_in_loop = not mis
 
@@ -585,7 +585,7 @@ class VolumeForwardTracer(Component):
             )
             cb_state = self.callback.on_event(
                 p["callback"], cb_state, ray, code, pre_alive, i + 2
-            )
+            , pol=pol)
             if self.polarized:
                 return ray, alive, rng, resp_state, cb_state, pol
             return ray, alive, rng, resp_state, cb_state
@@ -608,7 +608,7 @@ class VolumeForwardTracer(Component):
             jnp.full_like(streams, int(EventResultCode.MAX_ITER), jnp.int32),
             alive,
             self.pathLength + 2,
-        )
+         pol=pol,)
         return resp_state, cb_state
 
     # -- host API --------------------------------------------------------
