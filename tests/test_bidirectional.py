@@ -138,3 +138,39 @@ def test_bdpt_smoke():
     vg = u.c / 1.33
     min_t = T0  # connections can be arbitrarily short, but not before T0
     assert h[: int(min_t / 80.0)].sum() == 0
+
+
+def test_bdpt_polarized_scalar_invariance():
+    """Polarized BDPT with a scalar medium must reproduce the unpolarized
+    light curve (S0-neutral Mueller/Stokes chains)."""
+    medium = Model().createMedium()
+    mat = Material("det", medium, None, flags="DB")
+    store = MaterialStore.pack([mat])
+    meshes = MeshStore({"sphere": "/root/reference/assets/sphere.stl"})
+    sph = meshes.createInstance(
+        "sphere", "det", Transform.TRS(scale=RADIUS, translate=POS)
+    )
+    scene = Scene([sph], store, medium="water")
+
+    def run(polarized):
+        tr = BidirectionalPathTracer(
+            4096,
+            SphericalLightSource(position=POS, timeRange=(T0, T0), budget=BUDGET),
+            SphereCamera(position=POS, radius=-0.99 * RADIUS),
+            UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+            HistogramHitResponse(nBins=60, t0=0.0, binSize=80.0),
+            PhiloxRNG(key=7),
+            scene,
+            lightPathLength=4,
+            cameraPathLength=4,
+            maxTime=float("inf"),
+            polarized=polarized,
+        )
+        return np.asarray(tr.run()[0])
+
+    h_u = run(False)
+    h_p = run(True)
+    assert h_u.sum() > 0
+    # scalar media depolarize at the connection scatters (null phase
+    # tables -> depolarizer, m22=0) but S0 transport must be identical
+    assert np.allclose(h_u, h_p, rtol=1e-4, atol=1e-3 * h_u.max())

@@ -29,7 +29,16 @@ from ..camera import Camera
 from ..component import Component, TraceConfig
 from ..light import LightSource, WavelengthSource
 from ..material import MaterialFlags, lookup_packed, packed_medium_constants
-from ..ops.math3d import distance, dot, normalize
+from ..ops.math3d import distance, dot, local_frame, normalize
+from ..polarization import (
+    apply_phase_matrix,
+    apply_rotation,
+    rotate_pol_ref,
+    rotation_coeffs,
+    rotation_mueller,
+    phase_mueller,
+    unpolarized_stokes,
+)
 from ..random import PhiloxRNG, RNGState
 from ..scene import Scene
 from .core import (
@@ -42,8 +51,12 @@ from .core import (
     update_ray,
     update_ray_is,
 )
-from .scene import _merge_dim
-from .scene_backward import _sample_phase, make_surface_interactor
+from .scene import _merge_dim, _phase_matrix_packed, _pol_scatter_packed
+from .scene_backward import (
+    _mueller_scatter_packed,
+    _sample_phase,
+    make_surface_interactor,
+)
 
 if TYPE_CHECKING:
     from ..response import HitResponse
@@ -189,6 +202,7 @@ class BidirectionalPathTracer(Component):
             eta2=False,
             disable_transmission=self.disableTransmission,
             disable_volume_border=self.disableVolumeBorder,
+            pol_mode="stokes",
         )
         bwd_surface = make_surface_interactor(
             disable_transmission=self.disableTransmission,
@@ -213,6 +227,18 @@ class BidirectionalPathTracer(Component):
         )
         medium = scene_medium
         alive = ~ray.is_bad()
+        if self.polarized:
+            stokes = (
+                src.stokes if src.stokes is not None else unpolarized_stokes(lam.shape)
+            )
+            s_ref = (
+                src.pol_ref
+                if src.pol_ref is not None
+                else local_frame(src.direction)[0]
+            )
+            pol_l = (stokes, s_ref)
+        else:
+            pol_l = None
 
         # vertex storage (L, N, ...)
         v_pos = jnp.zeros((L, N, 3), jnp.float32)
@@ -220,10 +246,15 @@ class BidirectionalPathTracer(Component):
         v_time = jnp.zeros((L, N), jnp.float32)
         v_contrib = jnp.zeros((L, N), jnp.float32)
         v_medium = jnp.full((L, N), -1, jnp.int32)  # -1 = not connectable
+        if self.polarized:
+            v_stokes = jnp.zeros((L, N, 4), jnp.float32)
+            v_ref = jnp.zeros((L, N, 3), jnp.float32)
+        else:
+            v_stokes = v_ref = jnp.zeros((0,), jnp.float32)
 
         def light_body(i, carry):
-            ray, medium, alive, rng, store = carry
-            v_pos, v_dir, v_time, v_contrib, v_medium = store
+            ray, medium, alive, rng, pol_l, store = carry
+            v_pos, v_dir, v_time, v_contrib, v_medium, v_stokes, v_ref = store
             pre_alive = alive
             last = i == L - 1
 
@@ -243,19 +274,30 @@ class BidirectionalPathTracer(Component):
             v_time = v_time.at[i].set(ray.time)
             v_contrib = v_contrib.at[i].set(ray.contrib)
             v_medium = v_medium.at[i].set(jnp.where(connectable, medium, -1))
+            if pol_l is not None:
+                v_stokes = v_stokes.at[i].set(pol_l[0])
+                v_ref = v_ref.at[i].set(pol_l[1])
 
             surf = pre_alive & in_bounds & hit.valid
             ray = replace(
                 ray,
                 position=jnp.where(surf[..., None], hit.world_pos, ray.position),
             )
-            ray, medium, code2, absorbed, rng, _ = fwd_surface(
-                p, prop, pack, ray, medium, hit, surf, rng
+            ray, medium, code2, absorbed, rng, pol_l = fwd_surface(
+                p, prop, pack, ray, medium, hit, surf, rng, pol_l
             )
             miss = pre_alive & in_bounds & ~hit.valid & ~last
             rng_b = rng
             (s1, s2), rng = rng.uniform2d()
             new_dir, _, log_p = _sample_phase(pack, medium, ray.direction, s1, s2)
+            if pol_l is not None:
+                n_stokes, n_ref = _pol_scatter_packed(
+                    pack.media, medium, ray.direction, new_dir, pol_l
+                )
+                pol_l = (
+                    jnp.where(miss[..., None], n_stokes, pol_l[0]),
+                    jnp.where(miss[..., None], n_ref, pol_l[1]),
+                )
             ray = replace(
                 ray,
                 direction=jnp.where(miss[..., None], new_dir, ray.direction),
@@ -276,11 +318,18 @@ class BidirectionalPathTracer(Component):
                 code,
             )
             alive = pre_alive & (code >= 0) & ~absorbed
-            return ray, medium, alive, rng, (v_pos, v_dir, v_time, v_contrib, v_medium)
+            return ray, medium, alive, rng, pol_l, (
+                v_pos, v_dir, v_time, v_contrib, v_medium, v_stokes, v_ref
+            )
 
-        carry = (ray, medium, alive, rng, (v_pos, v_dir, v_time, v_contrib, v_medium))
-        ray, medium, alive, rng, store = lax.fori_loop(0, L, light_body, carry)
-        v_pos, v_dir, v_time, v_contrib, v_medium = store
+        carry = (
+            ray, medium, alive, rng, pol_l,
+            (v_pos, v_dir, v_time, v_contrib, v_medium, v_stokes, v_ref),
+        )
+        ray, medium, alive, rng, pol_l, store = lax.fori_loop(
+            0, L, light_body, carry
+        )
+        v_pos, v_dir, v_time, v_contrib, v_medium, v_stokes, v_ref = store
 
         # ---- camera subpath ------------------------------------------------
         cam, rng = self.camera.sample_ray(p["camera"], lam, rng)
@@ -297,8 +346,17 @@ class BidirectionalPathTracer(Component):
         )
         cmedium = cam_medium
         calive = ~cray.is_bad()
+        if self.polarized:
+            if cam.mueller is None:
+                raise ValueError(
+                    f"camera {type(self.camera).__name__} does not provide "
+                    "polarization frames"
+                )
+            pol_c = (cam.mueller, cam.pol_ref)
+        else:
+            pol_c = None
 
-        def connect_all(cray, cmedium, cam_i, resp_state, rng):
+        def connect_all(cray, cmedium, cam_i, pol_c, resp_state, rng):
             """Connect the current camera vertex to every light vertex."""
             # light vertex data: (L, N, ...) vs camera (N, ...)
             same_medium = v_medium == cmedium[None, :]
@@ -347,6 +405,49 @@ class BidirectionalPathTracer(Component):
                 & (contrib > 0.0)
                 & (time <= prop.max_time)
             )
+            stokes_f = ref_f = None
+            if pol_c is not None:
+                handles = jnp.maximum(v_medium, 0)
+                # scatter the light vertex stokes toward the camera vertex
+                # (reference: lightsource.scatter.glsl scatterSourceRay)
+                m12, m22, m33, m34 = _phase_matrix_packed(
+                    pack.media, handles, cos_l
+                )
+                l_ref, lc, ls = rotate_pol_ref(v_dir, v_ref, conn_dir)
+                l_stokes = apply_phase_matrix(
+                    apply_rotation(v_stokes, lc, ls), m12, m22, m33, m34
+                )
+                # extend the camera mueller chain by its connection scatter
+                cm12, cm22, cm33, cm34 = _phase_matrix_packed(
+                    pack.media,
+                    jnp.broadcast_to(cmedium[None], cos_c.shape),
+                    cos_c,
+                )
+                c_dir = jnp.broadcast_to(cray.direction[None], (L, N, 3))
+                c_ref0 = jnp.broadcast_to(pol_c[1][None], (L, N, 3))
+                c_ref, cc, cs = rotate_pol_ref(c_dir, c_ref0, -conn_dir)
+                rot_t = jnp.swapaxes(rotation_mueller(cc, cs), -1, -2)
+                conn_mueller = (
+                    jnp.broadcast_to(pol_c[0][None], (L, N, 4, 4))
+                    @ rot_t
+                    @ phase_mueller(cm12, cm22, cm33, cm34)
+                )
+                # align the light frame to the camera connection frame and
+                # transport (reference: ray.combine.glsl combineRaysAligned)
+                ac, as_ = rotation_coeffs(conn_dir, l_ref, c_ref)
+                stokes_f = jnp.einsum(
+                    "lnij,lnj->lni",
+                    conn_mueller,
+                    apply_rotation(l_stokes, ac, as_),
+                )
+                s0 = stokes_f[..., 0]
+                contrib = contrib * s0
+                safe = jnp.where(jnp.abs(s0) > 1e-30, s0, 1.0)
+                stokes_f = (stokes_f / safe[..., None]).reshape(-1, 4)
+                ref_f = jnp.broadcast_to(
+                    cam.hit_pol_ref[None], (L, N, 3)
+                ).reshape(-1, 3)
+                ok = ok & (contrib > 0.0)
             item = HitItem(
                 position=jnp.broadcast_to(cam.hit_position[None], (L, N, 3)).reshape(-1, 3),
                 direction=jnp.broadcast_to(cam.hit_direction[None], (L, N, 3)).reshape(-1, 3),
@@ -355,6 +456,8 @@ class BidirectionalPathTracer(Component):
                 time=time.reshape(-1),
                 contrib=contrib.reshape(-1),
                 object_id=jnp.broadcast_to(cam.object_id[None], (L, N)).reshape(-1),
+                stokes=stokes_f,
+                pol_ref=ref_f,
             )
             resp_state, rng = self.response.record(
                 p["response"], resp_state, item, ok.reshape(-1), rng
@@ -362,7 +465,7 @@ class BidirectionalPathTracer(Component):
             return resp_state, rng
 
         def cam_body(i, carry):
-            cray, cmedium, calive, rng, resp_state = carry
+            cray, cmedium, calive, pol_c, rng, resp_state = carry
             pre_alive = calive
             uu, rng = rng.uniform()
             dist = sample_scatter_length(cray, prop, uu)
@@ -382,19 +485,29 @@ class BidirectionalPathTracer(Component):
                 cray,
                 lin_contrib=jnp.where(conn_ok, cray.lin_contrib, 0.0),
             )
-            resp_state, rng = connect_all(conn_ray, cmedium, i, resp_state, rng)
+            resp_state, rng = connect_all(
+                conn_ray, cmedium, i, pol_c, resp_state, rng
+            )
 
             surf = pre_alive & in_bounds & hit.valid
             cray = replace(
                 cray,
                 position=jnp.where(surf[..., None], hit.world_pos, cray.position),
             )
-            cray, cmedium, code2, absorbed, rng, _ = bwd_surface(
-                p, prop, pack, cray, cmedium, hit, surf, rng
+            cray, cmedium, code2, absorbed, rng, pol_c = bwd_surface(
+                p, prop, pack, cray, cmedium, hit, surf, rng, pol_c
             )
             rng_b = rng
             (s1, s2), rng = rng.uniform2d()
             new_dir, _, log_p = _sample_phase(pack, cmedium, cray.direction, s1, s2)
+            if pol_c is not None:
+                n_mueller, n_ref = _mueller_scatter_packed(
+                    pack.media, cmedium, cray.direction, new_dir, pol_c[0], pol_c[1]
+                )
+                pol_c = (
+                    jnp.where(miss[..., None, None], n_mueller, pol_c[0]),
+                    jnp.where(miss[..., None], n_ref, pol_c[1]),
+                )
             cray = replace(
                 cray,
                 direction=jnp.where(miss[..., None], new_dir, cray.direction),
@@ -411,10 +524,10 @@ class BidirectionalPathTracer(Component):
             code = jnp.where(surf, code2, code)
             code = jnp.where(miss, jnp.int32(EventResultCode.RAY_SCATTERED), code)
             calive = pre_alive & (code >= 0) & ~absorbed
-            return cray, cmedium, calive, rng, resp_state
+            return cray, cmedium, calive, pol_c, rng, resp_state
 
-        carry = (cray, cmedium, calive, rng, resp_state)
-        cray, cmedium, calive, rng, resp_state = lax.fori_loop(
+        carry = (cray, cmedium, calive, pol_c, rng, resp_state)
+        cray, cmedium, calive, pol_c, rng, resp_state = lax.fori_loop(
             0, self.cameraPathLength, cam_body, carry
         )
         return resp_state, cb_state

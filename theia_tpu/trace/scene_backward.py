@@ -569,6 +569,7 @@ def make_surface_interactor(
     eta2: bool = True,
     disable_transmission: bool = False,
     disable_volume_border: bool = False,
+    pol_mode: str = "mueller",
 ):
     """Surface interaction (Fresnel reflect/transmit IS) parameterized by
     transport direction (reference: scene.traverse.backward.glsl:19-89 /
@@ -632,7 +633,7 @@ def make_surface_interactor(
 
         sel_r = surf & ~is_abs & ~vol_border & do_reflect & can_reflect
         sel_t = surf & ~is_abs & ~vol_border & ~do_reflect & can_transmit
-        if pol is not None:
+        if pol is not None and pol_mode == "mueller":
             # align the chain to the plane of incidence, then extend by the
             # Fresnel polarizer of the taken branch (reference:
             # ray.propagate.glsl alignRayToHit backward + ray.surface.glsl)
@@ -656,6 +657,30 @@ def make_surface_interactor(
                 ),
             )
             pol = (mueller, pref)
+        elif pol is not None:
+            # forward (Stokes) variant: rotate then apply the polarizer
+            # (reference: ray.surface.glsl reflectRay/transmitRay forward)
+            from ..polarization import apply_polarizer, apply_rotation
+
+            stokes, pref = pol
+            a_ref, ac, as_ = rotate_pol_ref(ray.direction, pref, hit.ray_nrm)
+            a_stokes = apply_rotation(stokes, ac, as_)
+            stokes = jnp.where(surf[..., None], a_stokes, stokes)
+            pref = jnp.where(surf[..., None], a_ref, pref)
+            _, m12_r, m33_r = polarizer_coeffs(r_p, r_s)
+            t_s = r_s + 1.0
+            t_p = (r_p + 1.0) * eta
+            _, m12_t, m33_t = polarizer_coeffs(t_p, t_s)
+            stokes = jnp.where(
+                sel_r[..., None],
+                apply_polarizer(stokes, m12_r, m33_r),
+                jnp.where(
+                    sel_t[..., None],
+                    apply_polarizer(stokes, m12_t, m33_t),
+                    stokes,
+                ),
+            )
+            pol = (stokes, pref)
         new_medium = jnp.where(
             surf & (vol_border | sel_t), hit.medium_tr, medium
         )
