@@ -106,11 +106,13 @@ def _nearest_triangle(pack: ScenePack, origin, direction, t_max, chunk: int):
         qz = tx * ce1y - ty * ce1x
         b2 = (dx * qx + dy * qy + dz * qz) * inv
         t = (ce2x * qx + ce2y * qy + ce2z * qz) * inv
+        # small negative tolerance: rays through shared edges/vertices must
+        # not fall through both adjacent triangles (watertightness)
         hit = (
             (inv != 0.0)
-            & (b1 >= 0.0)
-            & (b2 >= 0.0)
-            & (b1 + b2 <= 1.0)
+            & (b1 >= -1e-6)
+            & (b2 >= -1e-6)
+            & (b1 + b2 <= 1.0 + 1e-6)
             & (t > 0.0)
         )
         t = jnp.where(hit, t, jnp.inf)

@@ -101,12 +101,13 @@ def nearest_triangle_bvh(packed, origin, direction, t_max):
         qz = tx * e1[:, 1] - ty * e1[:, 0]
         b2 = (direction[:, 0] * qx + direction[:, 1] * qy + direction[:, 2] * qz) * inv
         t = (e2[:, 0] * qx + e2[:, 1] * qy + e2[:, 2] * qz) * inv
+        # shared-edge tolerance matching accel._nearest_triangle
         hit = (
             active
             & (inv != 0.0)
-            & (b1 >= 0.0)
-            & (b2 >= 0.0)
-            & (b1 + b2 <= 1.0)
+            & (b1 >= -1e-6)
+            & (b2 >= -1e-6)
+            & (b1 + b2 <= 1.0 + 1e-6)
             & (t > 0.0)
             & (t < t_best)
         )
