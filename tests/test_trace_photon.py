@@ -123,3 +123,41 @@ def test_scene_photon_smoke():
     # arrival no earlier than the ballistic flight time to the mesh
     # (triangle faces are chords: face planes sit at ~0.994 of the radius)
     assert t.min() >= 0.993 * 50.0 / (u.c / 1.33)
+
+
+def test_photon_polarized_smoke():
+    """Polarized photon mode (inherits the scene tracer's Stokes threading)."""
+    import numpy as np
+
+    from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+    from theia_tpu.material import Material, MaterialStore
+    from theia_tpu.random import PhiloxRNG
+    from theia_tpu.response import HitRecorder
+    from theia_tpu.scene import MeshStore, Scene, Transform
+    from theia_tpu.testing import WaterTestModel
+    from theia_tpu.trace import ScenePhotonTracer
+
+    medium = WaterTestModel(mu_a=0.005, mu_s=0.01, g=0.3).createMedium()
+    store = MaterialStore.pack([Material("det", medium, None, flags="DB")])
+    meshes = MeshStore({"sphere": "/root/reference/assets/sphere.stl"})
+    scene = Scene(
+        [meshes.createInstance("sphere", "det", Transform.TRS(scale=50.0))],
+        store,
+        medium="water_test",
+    )
+    rec = HitRecorder(polarized=True)
+    tr = ScenePhotonTracer(
+        2048,
+        SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e6),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        rec,
+        PhiloxRNG(key=3),
+        scene,
+        nScatteringPerRun=5,
+        nRuns=2,
+        polarized=True,
+    )
+    hits, _ = tr.run()
+    v = np.asarray(hits["valid"])
+    st = np.asarray(hits["stokes"])[v]
+    assert len(st) > 100 and np.isfinite(st).all()
