@@ -104,3 +104,82 @@ def test_sharded_gradient():
     assert np.allclose(
         np.asarray(g_single), np.asarray(g_shard), rtol=2e-3, atol=1e-2
     )
+
+
+def test_sharded_polarized_scene_gradient():
+    """Capstone config (BASELINE.md staged config 5): suzanne.stl polarized
+    transient with medium-parameter gradients, sharded over the device
+    mesh with psum'd histograms and gradients."""
+    import dataclasses
+
+    from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+    from theia_tpu.material import Material, MaterialStore
+    from theia_tpu.random import PhiloxRNG
+    from theia_tpu.response import HistogramHitResponse
+    from theia_tpu.scene import MeshStore, Scene, Transform
+    from theia_tpu.testing import WaterTestModel
+    from theia_tpu.trace import SceneForwardTracer
+
+    medium = WaterTestModel(mu_a=0.002, mu_s=0.01, g=0.4).createMedium()
+    store = MaterialStore.pack([Material("det", None, medium, flags="DB")])
+    meshes = MeshStore({"suzanne": "/root/reference/assets/suzanne.stl"})
+    scene = Scene(
+        [
+            meshes.createInstance(
+                "suzanne", "det",
+                Transform.TRS(scale=8.0, translate=(25.0, 0.0, 0.0)),
+                detectorId=1,
+            )
+        ],
+        store,
+        medium="water_test",
+    )
+    batch = 4 * 1024
+    tracer = SceneForwardTracer(
+        batch,
+        SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e9),
+        UniformWavelengthSource(lambdaRange=(400.0, 500.0)),
+        HistogramHitResponse(nBins=40, binSize=10.0, t0=0.0),
+        PhiloxRNG(key=0x5C0_FFEE),
+        scene,
+        maxPathLength=6,
+        scatterCoefficient=0.012,
+        targetId=1,
+        maxTime=400.0,
+        polarized=True,
+    )
+    p0 = tracer.params()
+    counter = tracer.rng.counter_words
+    mesh = make_photon_mesh()
+    streams = sharded_streams(batch, mesh)
+
+    def loss(tbl, streams):
+        p = dict(p0)
+        p["scene"] = dataclasses.replace(
+            p0["scene"],
+            media=dataclasses.replace(
+                p0["scene"].media,
+                tables={**p0["scene"].media.tables, "absorption_coef": tbl},
+            ),
+        )
+        hist, _ = tracer._trace_batch(p, counter, streams)
+        return jnp.sum(hist)
+
+    tbl = p0["scene"].media.tables["absorption_coef"]
+    g_single = jax.grad(loss)(tbl, jnp.arange(batch, dtype=jnp.uint32))
+
+    from jax.sharding import PartitionSpec as P
+
+    def sharded_loss(tbl, streams):
+        def inner(tbl, streams):
+            return jax.lax.psum(loss(tbl, streams), "batch")
+
+        return jax.shard_map(
+            inner, mesh=mesh, in_specs=(P(), P("batch")), out_specs=P(),
+            check_vma=False,
+        )(tbl, streams)
+
+    val, g_shard = jax.value_and_grad(sharded_loss)(tbl, streams)
+    assert float(val) > 0
+    assert np.asarray(np.abs(g_single)).max() > 0
+    assert np.allclose(np.asarray(g_single), np.asarray(g_shard), rtol=2e-4, atol=1e-6 * np.abs(np.asarray(g_single)).max())
