@@ -296,6 +296,7 @@ class ConvergeHistogramTask(DynamicTask):
         n = min(remaining, self._extraCount)
         if n == 0:
             warnings.warn(
-                f"Failed to converge histogram (error: {self.error:.3e})!"
+                f"Failed to converge histogram (error: {self.error:.3e}) "
+                f"before reaching maxBatchCount={self._maxBatchCount}!"
             )
         return n
