@@ -154,3 +154,100 @@ def test_packed_phase_matrix_matches_direct():
     direct = phase_matrix_elements(medium, cos_theta)
     for a, b in zip(packed, direct):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_volume_vs_scene_polarized_crosscheck():
+    """The volume tracer (analytic target, Medium pytree) and the scene
+    tracer (mesh geometry, packed tables) implement Stokes transport
+    independently; for the same Mueller medium their detected polarization
+    statistics must agree."""
+    from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+    from theia_tpu.material import (
+        HenyeyGreensteinPhaseFunction,
+        KokhanovskyOceanWaterPhaseMatrix,
+        Material,
+        MaterialStore,
+        MediumModel,
+        WaterBaseModel,
+    )
+    from theia_tpu.random import PhiloxRNG
+    from theia_tpu.response import HitRecorder
+    from theia_tpu.scene import MeshStore, Scene, Transform
+    from theia_tpu.target import SphereTarget
+    from theia_tpu.trace import SceneForwardTracer, VolumeForwardTracer
+
+    class PolWater(
+        WaterBaseModel,
+        HenyeyGreensteinPhaseFunction,
+        KokhanovskyOceanWaterPhaseMatrix,
+        MediumModel,
+    ):
+        ModelName = "pw"
+
+        def __init__(self):
+            WaterBaseModel.__init__(self, 10.0, 0.0, 35.0)
+            HenyeyGreensteinPhaseFunction.__init__(self, 0.4)
+            KokhanovskyOceanWaterPhaseMatrix.__init__(
+                self, p90=0.66, theta0=0.25, alpha=4.0, xi=25.6
+            )
+
+    CEN = (20.0, 0.0, 0.0)
+    N = 32 * 1024
+
+    def stats(hits):
+        v = np.asarray(hits["valid"])
+        c = np.asarray(hits["contrib"])[v]
+        st = np.asarray(hits["stokes"])[v]
+        t = np.asarray(hits["time"])[v]
+        w = c / c.sum()
+        dop = np.sqrt((st[:, 1:] ** 2).sum(-1))
+        out = {}
+        for lo, hi in ((95, 120), (120, 180)):
+            m = (t >= lo) & (t < hi)
+            out[(lo, hi)] = (dop[m] * c[m]).sum() / max(c[m].sum(), 1e-30)
+        return out
+
+    medium = PolWater().createMedium()
+    vol = VolumeForwardTracer(
+        N,
+        SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e9),
+        SphereTarget(position=CEN, radius=5.0),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        HitRecorder(polarized=True),
+        PhiloxRNG(key=0x9E3779B97F4A7C15),
+        medium=medium,
+        nScattering=8,
+        maxTime=250.0,
+        polarized=True,
+    )
+    s_vol = stats(vol.run()[0])
+
+    store = MaterialStore.pack([Material("det", None, medium, flags="DB")])
+    meshes = MeshStore({"sphere": "/root/reference/assets/sphere.stl"})
+    scene = Scene(
+        [
+            meshes.createInstance(
+                "sphere", "det", Transform.TRS(scale=5.0, translate=CEN), detectorId=1
+            )
+        ],
+        store,
+        medium="pw",
+    )
+    scn = SceneForwardTracer(
+        N,
+        SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e9),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        HitRecorder(polarized=True),
+        PhiloxRNG(key=0x3C6EF372FE94F82A),
+        scene,
+        maxPathLength=8,
+        scatterCoefficient=0.03,
+        targetId=1,
+        maxTime=250.0,
+        polarized=True,
+    )
+    s_scn = stats(scn.run()[0])
+
+    for k in s_vol:
+        assert abs(s_vol[k] - s_scn[k]) < 0.08, (k, s_vol[k], s_scn[k])
