@@ -774,8 +774,10 @@ class PointCamera(Camera):
 
 
 class HostCamera(Camera):
-    """Camera rays provided by the host, indexed by stream id
-    (reference: src/theia/camera.py:270-349)."""
+    """Camera rays provided by the host, indexed by stream id; optional
+    polarization frames with identity Mueller matrices
+    (reference: src/theia/camera.py:270-349, shader/camera.queue.glsl
+    CAMERA_QUEUE_POLARIZED)."""
 
     name = "Host Camera"
     nRNGSamples = 0
@@ -790,7 +792,8 @@ class HostCamera(Camera):
     )
 
     def __init__(
-        self, position, direction, contrib, timeDelta, hitPosition, hitDirection, hitNormal
+        self, position, direction, contrib, timeDelta, hitPosition,
+        hitDirection, hitNormal, polRef=None, hitPolRef=None,
     ) -> None:
         self.position = np.asarray(position, np.float32)
         self.direction = np.asarray(direction, np.float32)
@@ -799,10 +802,28 @@ class HostCamera(Camera):
         self.hitPosition = np.asarray(hitPosition, np.float32)
         self.hitDirection = np.asarray(hitDirection, np.float32)
         self.hitNormal = np.asarray(hitNormal, np.float32)
+        self.polRef = None if polRef is None else np.asarray(polRef, np.float32)
+        self.hitPolRef = (
+            None if hitPolRef is None else np.asarray(hitPolRef, np.float32)
+        )
+
+    def params(self):
+        p = super().params()
+        if self.polRef is not None:
+            p["polRef"] = jnp.asarray(self.polRef)
+            p["hitPolRef"] = jnp.asarray(
+                self.hitPolRef if self.hitPolRef is not None else self.polRef
+            )
+        return p
 
     def sample_ray(self, params, wavelength, rng: RNGState):
         idx = rng.stream.astype(jnp.int32) % params["contrib"].shape[0]
         take = lambda k: jnp.take(params[k], idx, axis=0)
+        pol_ref = hit_pol_ref = mueller = None
+        if "polRef" in params:
+            pol_ref = take("polRef")
+            hit_pol_ref = take("hitPolRef")
+            mueller = _identity_mueller(idx.shape)
         return (
             CameraRay(
                 position=take("position"),
@@ -813,6 +834,9 @@ class HostCamera(Camera):
                 hit_direction=take("hitDirection"),
                 hit_normal=take("hitNormal"),
                 object_id=_ids(idx.shape),
+                pol_ref=pol_ref,
+                hit_pol_ref=hit_pol_ref,
+                mueller=mueller,
             ),
             rng,
         )
