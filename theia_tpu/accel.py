@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .ops.math3d import dot, normalize, sign_bit, vec3
+from .ops.math3d import dot, normalize, sign_bit
 from .scene import ScenePack
 from .trace.core import EventResultCode
 

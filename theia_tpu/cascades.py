@@ -22,7 +22,7 @@ import numpy as np
 from scipy.stats import norm
 
 from . import units as u
-from .light import LightSource, MuonTrackLightSource, ParticleCascadeLightSource
+from .light import MuonTrackLightSource, ParticleCascadeLightSource
 
 __all__ = [
     "CascadeLightYield",

@@ -13,7 +13,7 @@ analogue. Uniform ``stage__param`` addressing for pipelines lives in
 
 from __future__ import annotations
 
-from typing import Any, Iterable
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

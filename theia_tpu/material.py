@@ -20,12 +20,12 @@ import importlib.resources
 import json
 import re
 import warnings
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from enum import IntFlag
 from io import TextIOBase
 from pathlib import Path
 from typing import Final
-from zipfile import ZipFile, is_zipfile
+from zipfile import ZipFile
 
 import jax
 import jax.numpy as jnp

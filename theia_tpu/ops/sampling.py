@@ -7,7 +7,6 @@ value mapping, so identical Philox streams yield identical samples
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

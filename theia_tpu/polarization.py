@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .lookup import lookup
 from .material import Medium
-from .ops.math3d import cross, dot, normalize
+from .ops.math3d import cross, dot
 
 __all__ = [
     "rotation_coeffs",

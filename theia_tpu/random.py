@@ -32,9 +32,8 @@ limbs (TPUs have no native 64-bit integer path).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from os import urandom
-from typing import Any
 import warnings
 
 import jax

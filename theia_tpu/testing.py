@@ -16,7 +16,6 @@ from .light import LightSource, WavelengthSource
 from .material import (
     DispersionFreeMedium,
     HenyeyGreensteinPhaseFunction,
-    MediumConstants,
     MediumModel,
     medium_constants,
 )

@@ -29,7 +29,6 @@ from ..callback import EmptyEventCallback, TraceEventCallback
 from ..component import Component, TraceConfig
 from ..light import LightSource, WavelengthSource
 from ..material import MaterialFlags, packed_medium_constants, lookup_packed
-from ..lookup import lookup
 from ..ops.math3d import dot, local_frame, normalize
 from ..ops.sampling import scatter_dir
 from ..polarization import (
