@@ -198,3 +198,9 @@ def eval_table(f, *axes_spec) -> np.ndarray:
     axes = [make_axis(a) for a in axes_spec]
     grid = np.meshgrid(*axes, indexing="ij")
     return np.asarray(f(*grid), dtype=np.float32)
+
+
+# reference-name aliases (src/theia/lookup.py API)
+sampleTable1D = sample_table1d
+sampleTable2D = sample_table2d
+evalTable = eval_table

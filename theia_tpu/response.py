@@ -107,6 +107,21 @@ class HitResponse(Component):
         return state
 
 
+class EmptyResponse(HitResponse):
+    """Ignores all hits (reference: src/theia/response.py EmptyResponse)."""
+
+    name = "Empty Response"
+
+    def init(self):
+        return ()
+
+    def record(self, params, state, item, mask, rng):
+        return state, rng
+
+    def result(self, params, state):
+        return None
+
+
 class HistogramHitResponse(HitResponse):
     """Time-binned histogram of response values — the light curve
     (reference: src/theia/response.py:1200-1421,
@@ -523,3 +538,8 @@ def sample_camera_hits(
         params, rstate, item, jnp.ones(n, bool), state
     )
     return response.result(params, rstate)
+
+
+# reference-name aliases (src/theia/response.py API)
+HitReplay = replay_hits
+CameraHitResponseSampler = sample_camera_hits
