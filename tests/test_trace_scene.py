@@ -171,3 +171,67 @@ def test_scene_crosscheck_guide_mis():
     peak = plain.argmax()
     assert guided.argmax() == peak
     assert np.abs(guided[peak] / plain[peak] - 1.0) < 0.05
+
+
+@pytest.mark.slow
+def test_multimedia_shell_energy_conservation():
+    """Lossless glass shell around the source inside an enclosing black
+    detector sphere: every photon must eventually land on the detector,
+    so the total detected weight equals the budget regardless of how many
+    Fresnel reflections/transmissions it took (model: reference
+    tests/test_trace_energy.py multi-media shells)."""
+    from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+    from theia_tpu.material import (
+        DispersionFreeMedium,
+        Material,
+        MaterialStore,
+    )
+    from theia_tpu.random import PhiloxRNG
+    from theia_tpu.response import HistogramHitResponse
+    from theia_tpu.scene import MeshStore, Scene, Transform
+    from theia_tpu.trace import SceneForwardTracer
+
+    water = DispersionFreeMedium(n=4.0 / 3.0, ng=4.0 / 3.0, mu_a=0.0, mu_s=1e-4).createMedium(name="water")
+    glass = DispersionFreeMedium(n=1.5, ng=1.5, mu_a=0.0, mu_s=0.0).createMedium(name="glass")
+    store = MaterialStore.pack(
+        [
+            Material("glass_water", glass, "water", flags="TR"),
+            Material("air_glass", None, "glass", flags="TR"),
+            Material("det", "water", None, flags="DB"),
+        ],
+        media=[water],
+    )
+    meshes = MeshStore({"sphere": "/root/reference/assets/sphere.stl"})
+    BUDGET = 1e9
+    scene = Scene(
+        [
+            meshes.createInstance("sphere", "glass_water", Transform.Scale(2.0)),
+            meshes.createInstance("sphere", "air_glass", Transform.Scale(1.8)),
+            meshes.createInstance(
+                "sphere", "det", Transform.Scale(30.0), detectorId=1
+            ),
+        ],
+        store,
+        medium="water",
+    )
+    tracer = SceneForwardTracer(
+        32 * 1024,
+        SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=BUDGET),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        HistogramHitResponse(nBins=50, binSize=40.0, t0=0.0),
+        PhiloxRNG(key=0x51E11),
+        scene,
+        maxPathLength=24,  # enough for multiple TIR bounces in the shell
+        sourceMedium="vacuum",
+        scatterCoefficient=1e-4,
+        targetId=1,
+        maxTime=float("inf"),
+    )
+    total = 0.0
+    runs = 4
+    for _ in range(runs):
+        h, _ = tracer.run()
+        total += float(np.asarray(h).sum())
+    total /= runs
+    # a small fraction is truncated at maxPathLength (TIR-trapped paths)
+    assert 0.93 < total / BUDGET <= 1.005, total / BUDGET
