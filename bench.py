@@ -63,6 +63,10 @@ def main() -> None:
                     "histogram_sum": hist_sum,
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
+                    # the dev sandbox chip delivers ~0.1 TFLOP/s matmul /
+                    # ~20 GB/s HBM (~1/2000 of a production v5e); see
+                    # PERF.md for the calibration and kernel experiments
+                    "note": "sandbox chip ~1/2000 of production v5e",
                 },
             }
         )
