@@ -148,12 +148,15 @@ def update_ray(
     (reference: ray.propagate.glsl:70-80).
 
     ``dist`` is frozen for AD (path geometry is detached); mu_e stays
-    traced so transmittance gradients flow."""
+    traced so transmittance gradients flow. ``vg`` is traced too: arrival
+    times then carry d(time)/d(group_velocity), which reaches the light
+    curve through time-smooth responses (KernelHistogramHitResponse);
+    hard-binned histograms freeze time at the binning instead."""
     d = lax.stop_gradient(dist)
     new = replace(
         ray,
         log_contrib=ray.log_contrib - ray.constants.mu_e * d,
-        time=ray.time + d / lax.stop_gradient(ray.constants.vg),
+        time=ray.time + d / ray.constants.vg,
     )
     code = jnp.where(
         new.time <= params.max_time,
