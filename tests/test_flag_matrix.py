@@ -100,3 +100,41 @@ def test_reflect_transmit_split(polarized):
     assert stats["hit"] == N
     assert stats["lost"] == N
     assert stats["absorbed"] == 0
+
+
+def test_media_mismatch_counted_and_kills_path():
+    """A ray believing the wrong medium dies with ERROR_MEDIA_MISMATCH and
+    the statistic callback counts it (reference: scene.intersect.glsl:77-80,
+    callback.stat.glsl mismatch counter)."""
+    from theia_tpu.material import DispersionFreeMedium
+
+    # interface whose *outside* medium (glass) disagrees with the scene
+    # medium (water) the ray travels in
+    water = DispersionFreeMedium(n=4.0 / 3.0, ng=4.0 / 3.0, mu_a=0.0, mu_s=0.0).createMedium(name="water")
+    glass = DispersionFreeMedium(n=1.5, ng=1.5, mu_a=0.0, mu_s=0.0).createMedium(name="glass")
+    store = MaterialStore.pack(
+        [Material("m", None, glass, flags="R")], media=[water]
+    )
+    meshes = MeshStore({"p": plane(0.0)})
+    scene = Scene([meshes.createInstance("p", "m")], store, medium="water")
+    cb = EventStatisticCallback()
+    tracer = SceneForwardTracer(
+        N,
+        PencilLightSource(
+            position=(0.5, 0.3, 2.0),
+            direction=(0.3, 0.0, -0.954),
+            timeRange=(0.0, 0.0),
+            budget=1.0,
+        ),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        HistogramHitResponse(nBins=10, binSize=20.0, t0=0.0),
+        PhiloxRNG(key=0xBAD),
+        scene,
+        maxPathLength=3,
+        scatterCoefficient=1e-6,
+        maxTime=200.0,
+        callback=cb,
+    )
+    _, stats = tracer.run()
+    assert stats["mismatch"] == N
+    assert stats["hit"] == 0
