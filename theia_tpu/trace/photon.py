@@ -325,6 +325,9 @@ class VolumePhotonTracer(Component):
             alive,
             n_steps + 1,
         )
+        if getattr(self, "_debug_rng", False):
+            # conformance hook: expose each lane's final dim counter
+            return resp_state, cb_state, rng.dim
         return resp_state, cb_state
 
     def run(self, params=None, *, advance: bool = True):

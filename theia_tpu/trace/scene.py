@@ -175,12 +175,18 @@ class SceneForwardTracer(Component):
         # ScenePhotonTracer sets this before calling super().__init__
         self._photon_mode = getattr(self, "_photon_mode", False)
 
-        # reference accounting (src/theia/trace.py:1185-1196)
+        # reference accounting (src/theia/trace.py:1185-1196), with one
+        # deliberate fix: with a target guide the reference's stride
+        # (4 + guide) undercounts its own per-segment consumption — a miss
+        # segment draws dist(1) + phase(2) + guide(N) + scatter(2) = 5 + N
+        # (scene.traverse.glsl:294, 253-255, 391) — which silently overlaps
+        # Philox streams between batches. We advance by the true worst case;
+        # tests/test_rng_schedule.py pins the schedule.
         maxHits = maxPathLength - 1
         rngStride = 4
         if targetGuide is not None:
             maxHits *= 2
-            rngStride += targetGuide.nRNGSamples
+            rngStride = 5 + targetGuide.nRNGSamples
         if not disableDirectLighting:
             maxHits += 1
         self.maxHitsPerThread = maxHits
@@ -802,6 +808,9 @@ class SceneForwardTracer(Component):
             alive,
             self.maxPathLength + 1,
          pol=pol,)
+        if getattr(self, "_debug_rng", False):
+            # conformance hook: expose each lane's final dim counter
+            return resp_state, cb_state, rng.dim
         return resp_state, cb_state
 
     # -- host API --------------------------------------------------------

@@ -609,6 +609,9 @@ class VolumeForwardTracer(Component):
             alive,
             self.pathLength + 2,
          pol=pol,)
+        if getattr(self, "_debug_rng", False):
+            # conformance hook: expose each lane's final dim counter
+            return resp_state, cb_state, rng.dim
         return resp_state, cb_state
 
     # -- host API --------------------------------------------------------
