@@ -165,17 +165,28 @@ class VolumeForwardTracer(Component):
         self.disableDirectLighting = disableDirectLighting
         self.disableTargetSampling = disableTargetSampling
 
-        # reference accounting (src/theia/trace.py:624-637)
+        # reference accounting (src/theia/trace.py:624-637), fixed: the
+        # reference's stride * pathLength omits the pre-loop first trace
+        # step (dist 1, plus phase 2 + target draws under MIS), so its
+        # nRNGSamples undercounts the true per-path consumption and can
+        # overlap Philox streams between batches. We advance by the worst
+        # case; the schedule is pinned by tests/test_rng_schedule.py.
         self.maxHitsPerThread = nScattering
         if not disableTargetSampling:
             self.maxHitsPerThread *= 2
         if not disableDirectLighting:
             self.maxHitsPerThread += 1
         self.pathLength = nScattering if disableTargetSampling else nScattering - 1
-        rngStride = 3 if disableTargetSampling else 7
+        if disableTargetSampling:
+            firstStep = 1
+            rngStride = 3
+        else:
+            firstStep = 3 + target.nRNGSamples
+            rngStride = 5 + target.nRNGSamples
         self.nRNGSamples = (
             source.nRNGForward
             + wavelengthSource.nRNGSamples
+            + firstStep
             + rngStride * self.pathLength
             + self.maxHitsPerThread * response.nRNGSamples
         )
