@@ -94,7 +94,7 @@ def test_traversal_matches_bruteforce():
     d = jax.random.normal(ks[1], (n, 3), jnp.float32)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
-    t_b, i_b, b1_b, b2_b = _nearest_triangle(pack, o, d, jnp.inf, 256)
+    t_b, i_b = _nearest_triangle(pack, o, d, jnp.inf, 256)
     t_v, i_v, b1_v, b2_v = nearest_triangle_bvh(packed, o, d, jnp.inf)
 
     t_b, i_b, t_v, i_v = map(np.asarray, (t_b, i_b, t_v, i_v))

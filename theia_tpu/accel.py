@@ -140,25 +140,7 @@ def _nearest_triangle(pack: ScenePack, origin, direction, t_max, chunk: int):
     )
     miss = idx < 0
     t = jnp.where(miss, jnp.inf, t)
-
-    # recompute barycentrics for the single winning triangle per lane
-    tri_safe = jnp.maximum(idx, 0)
-    g = lambda a: jnp.take(a, tri_safe, axis=0)
-    wv0, we1, we2 = g(pack.w_v0), g(pack.w_e1), g(pack.w_e2)
-    px = direction[:, 1] * we2[:, 2] - direction[:, 2] * we2[:, 1]
-    py = direction[:, 2] * we2[:, 0] - direction[:, 0] * we2[:, 2]
-    pz = direction[:, 0] * we2[:, 1] - direction[:, 1] * we2[:, 0]
-    det = we1[:, 0] * px + we1[:, 1] * py + we1[:, 2] * pz
-    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tx = origin[:, 0] - wv0[:, 0]
-    ty = origin[:, 1] - wv0[:, 1]
-    tz = origin[:, 2] - wv0[:, 2]
-    b1 = (tx * px + ty * py + tz * pz) * inv
-    qx = ty * we1[:, 2] - tz * we1[:, 1]
-    qy = tz * we1[:, 0] - tx * we1[:, 2]
-    qz = tx * we1[:, 1] - ty * we1[:, 0]
-    b2 = (direction[:, 0] * qx + direction[:, 1] * qy + direction[:, 2] * qz) * inv
-    return t, idx, b1, b2
+    return t, idx
 
 
 def offset_ray(p: jax.Array, n: jax.Array) -> jax.Array:
@@ -185,20 +167,44 @@ def intersect_scene(
 
     ``medium_handle``: i32[N] — the medium each lane believes it is in;
     mismatches against the hit material's expectation raise the
-    media-mismatch error exactly like the reference."""
-    if pack.bvh is not None:
+    media-mismatch error exactly like the reference.
+
+    Reconstruction reads exactly two wide rows per lane (triangle row +
+    instance row); barycentrics for the single winner are recomputed from
+    the world triangle in the row (TPU gathers are the cost driver here)."""
+    if pack.woop is not None:
+        from .ops.intersect_woop import nearest_triangle_woop
+
+        t, tri = nearest_triangle_woop(pack.woop, origin, direction, t_max)
+    elif pack.bvh is not None:
         from .ops.bvh_traverse import nearest_triangle_bvh
 
-        t, tri, b1, b2 = nearest_triangle_bvh(pack.bvh, origin, direction, t_max)
+        t, tri, _, _ = nearest_triangle_bvh(pack.bvh, origin, direction, t_max)
     else:
-        t, tri, b1, b2 = _nearest_triangle(pack, origin, direction, t_max, chunk)
+        t, tri = _nearest_triangle(pack, origin, direction, t_max, chunk)
     valid = tri >= 0
     tri_safe = jnp.maximum(tri, 0)
 
-    take = lambda a: jnp.take(a, tri_safe, axis=0)
-    inst = jnp.take(pack.tri_instance, tri_safe)
-    o_v0, o_e1, o_e2 = take(pack.o_v0), take(pack.o_e1), take(pack.o_e2)
-    n0, n1, n2 = take(pack.o_n0), take(pack.o_n1), take(pack.o_n2)
+    row = jnp.take(pack.tri_data, tri_safe, axis=0)  # (N, 32)
+    o_v0, o_e1, o_e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+    n0, n1, n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
+    wv0, we1, we2 = row[:, 18:21], row[:, 21:24], row[:, 24:27]
+    inst = row[:, 27].astype(jnp.int32)
+
+    # winner barycentrics (Moeller-Trumbore on the world triangle)
+    px = direction[:, 1] * we2[:, 2] - direction[:, 2] * we2[:, 1]
+    py = direction[:, 2] * we2[:, 0] - direction[:, 0] * we2[:, 2]
+    pz = direction[:, 0] * we2[:, 1] - direction[:, 1] * we2[:, 0]
+    det = we1[:, 0] * px + we1[:, 1] * py + we1[:, 2] * pz
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tx = origin[:, 0] - wv0[:, 0]
+    ty = origin[:, 1] - wv0[:, 1]
+    tz = origin[:, 2] - wv0[:, 2]
+    b1 = (tx * px + ty * py + tz * pz) * inv
+    qx = ty * we1[:, 2] - tz * we1[:, 1]
+    qy = tz * we1[:, 0] - tx * we1[:, 2]
+    qz = tx * we1[:, 1] - ty * we1[:, 0]
+    b2 = (direction[:, 0] * qx + direction[:, 1] * qy + direction[:, 2] * qz) * inv
 
     bb1, bb2 = b1[:, None], b2[:, None]
     obj_pos = o_v0 + bb1 * o_e1 + bb2 * o_e2
@@ -208,20 +214,17 @@ def intersect_scene(
     obj_nrm = obj_nrm * sign_bit(dot(obj_nrm, int_nrm))[:, None]
     obj_nrm = normalize(obj_nrm)
 
-    w2o = jnp.take(pack.world_to_obj, inst, axis=0)  # (N, 3, 4)
-    o2w = jnp.take(pack.obj_to_world, inst, axis=0)
+    irow = jnp.take(pack.inst_data, inst, axis=0)  # (N, 32)
+    w2o = irow[:, 0:12].reshape(-1, 3, 4)
+    o2w = irow[:, 12:24].reshape(-1, 3, 4)
     lin_w2o = w2o[:, :, :3]
     obj_dir = normalize(jnp.einsum("nij,nj->ni", lin_w2o, direction))
     inward = dot(obj_dir, obj_nrm) <= 0.0
 
-    flags = jnp.where(
-        inward,
-        jnp.take(pack.flags_inward, inst),
-        jnp.take(pack.flags_outward, inst),
-    )
+    flags = jnp.where(inward, irow[:, 26], irow[:, 27]).astype(jnp.uint32)
     # medium on the ray's side vs transmitted side
-    inside = jnp.take(pack.inside_medium, inst)
-    outside = jnp.take(pack.outside_medium, inst)
+    inside = irow[:, 24].astype(jnp.int32)
+    outside = irow[:, 25].astype(jnp.int32)
     medium_expected = jnp.where(inward, outside, inside)
     medium_tr = jnp.where(inward, inside, outside)
     mismatch = valid & (medium_handle != medium_expected)
@@ -244,7 +247,7 @@ def intersect_scene(
         valid=valid,
         t=t,
         instance=inst,
-        custom_id=jnp.take(pack.detector_id, inst),
+        custom_id=irow[:, 28].astype(jnp.int32),
         flags=flags,
         inward=inward,
         medium_in=medium_handle,
@@ -271,10 +274,14 @@ def is_visible(
     d = target - observer
     dist = jnp.sqrt(jnp.maximum(dot(d, d), 1e-30))
     direction = d / dist[:, None]
-    if pack.bvh is not None:
+    if pack.woop is not None:
+        from .ops.intersect_woop import nearest_triangle_woop
+
+        t, tri = nearest_triangle_woop(pack.woop, observer, direction, dist)
+    elif pack.bvh is not None:
         from .ops.bvh_traverse import nearest_triangle_bvh
 
         t, tri, _, _ = nearest_triangle_bvh(pack.bvh, observer, direction, dist)
     else:
-        t, tri, _, _ = _nearest_triangle(pack, observer, direction, dist, chunk)
+        t, tri = _nearest_triangle(pack, observer, direction, dist, chunk)
     return tri < 0

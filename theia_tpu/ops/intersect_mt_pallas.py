@@ -1,0 +1,234 @@
+"""Pallas VPU kernel: Moeller-Trumbore scan with per-tile AABB culling.
+
+Same contract and tiling skeleton as :mod:`intersect_woop` but the
+per-pair test runs entirely on the VPU in f32 (exact MT, identical
+semantics to ``accel._nearest_triangle``). Triangle components are laid
+out as (T_tiles, 9, BT) rows so each tile's operands broadcast from
+(1, BT) against per-ray (BN, 1) columns.
+
+Rationale: the XLA scan reaches ~25 Gtest/s (~29 % of VPU peak); Mosaic
+can strip-mine the same arithmetic with tighter code, and the tile loop
+adds block-level AABB skipping that activates once rays are sorted.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect_woop import WoopPack  # reuse pytree style
+
+__all__ = ["MTPack", "pack_mt", "nearest_triangle_mt"]
+
+BN = 512  # rays per grid step
+BT = 512  # triangles per tile
+
+
+class MTPack:
+    def __init__(self, tri, aabb, n_tri):
+        self.tri = tri  # f32 (T_tiles, 9, BT): v0xyz, e1xyz, e2xyz rows
+        self.aabb = aabb  # f32 (T_tiles, 8)
+        self.n_tri = n_tri
+
+
+jax.tree_util.register_pytree_node(
+    MTPack,
+    lambda p: ((p.tri, p.aabb), p.n_tri),
+    lambda n_tri, leaves: MTPack(leaves[0], leaves[1], n_tri),
+)
+
+
+def pack_mt(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> MTPack:
+    """Triangles must already be Morton-ordered; padding is unhittable."""
+    v0 = np.asarray(v0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    n_tri = v0.shape[0]
+    n_tiles = max(1, -(-n_tri // BT))
+    t_pad = n_tiles * BT
+    if t_pad != n_tri:
+        v0 = np.concatenate([v0, np.full((t_pad - n_tri, 3), 3e38, np.float32)])
+        e1 = np.concatenate([e1, np.zeros((t_pad - n_tri, 3), np.float32)])
+        e2 = np.concatenate([e2, np.zeros((t_pad - n_tri, 3), np.float32)])
+
+    tri = np.zeros((n_tiles, 9, BT), np.float32)
+    for c in range(3):
+        tri[:, c, :] = v0[:, c].reshape(n_tiles, BT)
+        tri[:, 3 + c, :] = e1[:, c].reshape(n_tiles, BT)
+        tri[:, 6 + c, :] = e2[:, c].reshape(n_tiles, BT)
+
+    aabb = np.zeros((n_tiles, 8), np.float32)
+    pts = np.stack([v0, v0 + e1, v0 + e2])  # (3, T_pad, 3)
+    for k in range(n_tiles):
+        s = slice(k * BT, min((k + 1) * BT, n_tri))
+        if s.start >= n_tri:
+            aabb[k, 0:3] = 1.0
+            aabb[k, 4:7] = -1.0
+            continue
+        p = pts[:, s, :].reshape(-1, 3)
+        aabb[k, 0:3] = p.min(0)
+        aabb[k, 4:7] = p.max(0)
+    return MTPack(jnp.asarray(tri), jnp.asarray(aabb), n_tri)
+
+
+def _kernel(x_ref, tmax_ref, tri_ref, aabb_ref, t_out, idx_out, t_sc, i_sc):
+    n_tiles = tri_ref.shape[0]
+
+    ox = x_ref[:, 0:1]
+    oy = x_ref[:, 1:2]
+    oz = x_ref[:, 2:3]
+    dx = x_ref[:, 4:5]
+    dy = x_ref[:, 5:6]
+    dz = x_ref[:, 6:7]
+
+    def rcp(v):
+        r = pl.reciprocal(v, approx=True)
+        return r * (2.0 - v * r)
+
+    def safe(v):
+        return jnp.where(jnp.abs(v) < 1e-20, 1e-20, v)
+
+    idx_ = rcp(safe(dx))
+    idy_ = rcp(safe(dy))
+    idz_ = rcp(safe(dz))
+
+    t_sc[:] = tmax_ref[:]
+    i_sc[:] = jnp.full(i_sc.shape, -1, jnp.int32)
+
+    def tile(k, _):
+        lox = aabb_ref[k, 0]
+        loy = aabb_ref[k, 1]
+        loz = aabb_ref[k, 2]
+        hix = aabb_ref[k, 4]
+        hiy = aabb_ref[k, 5]
+        hiz = aabb_ref[k, 6]
+        t1x = (lox - ox) * idx_
+        t2x = (hix - ox) * idx_
+        t1y = (loy - oy) * idy_
+        t2y = (hiy - oy) * idy_
+        t1z = (loz - oz) * idz_
+        t2z = (hiz - oz) * idz_
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.maximum(jnp.minimum(t1z, t2z), 0.0),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.minimum(jnp.maximum(t1z, t2z), t_sc[:]),
+        )
+        any_hit = jnp.any(tn <= tf)
+
+        @pl.when(any_hit)
+        def _():
+            v0x = tri_ref[k, 0:1, :]
+            v0y = tri_ref[k, 1:2, :]
+            v0z = tri_ref[k, 2:3, :]
+            e1x = tri_ref[k, 3:4, :]
+            e1y = tri_ref[k, 4:5, :]
+            e1z = tri_ref[k, 5:6, :]
+            e2x = tri_ref[k, 6:7, :]
+            e2y = tri_ref[k, 7:8, :]
+            e2z = tri_ref[k, 8:9, :]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = jnp.where(jnp.abs(det) > 1e-12, rcp(safe(det)), 0.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            b1 = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            b2 = (dx * qx + dy * qy + dz * qz) * inv
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            hit = (
+                (inv != 0.0)
+                & (b1 >= -1e-6)
+                & (b2 >= -1e-6)
+                & (b1 + b2 <= 1.0 + 1e-6)
+                & (t > 0.0)
+            )
+            th = jnp.where(hit, t, jnp.inf)
+            tt = jnp.min(th, axis=1, keepdims=True)
+            local = jax.lax.broadcasted_iota(jnp.int32, th.shape, 1)
+            ic = jnp.min(
+                jnp.where(th <= tt, local, jnp.int32(0x7FFFFFFF)),
+                axis=1,
+                keepdims=True,
+            )
+            better = tt < t_sc[:]
+            i_sc[:] = jnp.where(better, ic + k * BT, i_sc[:])
+            t_sc[:] = jnp.where(better, tt, t_sc[:])
+
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+    t_out[:] = t_sc[:]
+    idx_out[:] = i_sc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("n_tri", "interpret"))
+def _call(x, tmax, tri, aabb, n_tri, interpret=False):
+    n_pad = x.shape[0]
+    t, idx = pl.pallas_call(
+        _kernel,
+        grid=(n_pad // BN,),
+        in_specs=[
+            pl.BlockSpec((BN, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tri.shape[0], 9, BT),
+                lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (aabb.shape[0], 8), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BN, 1), jnp.float32),
+            pltpu.VMEM((BN, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x, tmax, tri, aabb)
+    t = t[:, 0]
+    idx = idx[:, 0]
+    idx = jnp.where(idx >= n_tri, -1, idx)
+    return jnp.where(idx < 0, jnp.inf, t), idx
+
+
+def nearest_triangle_mt(
+    pack: MTPack, origin, direction, t_max, *, interpret: bool | None = None
+):
+    """Nearest-hit query: returns (t, tri_idx); t=inf / idx=-1 on miss."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = origin.shape[0]
+    n_pad = max(BN, -(-n // BN) * BN)
+    pad = n_pad - n
+    one = jnp.ones((n, 1), jnp.float32)
+    zero = jnp.zeros((n, 1), jnp.float32)
+    x = jnp.concatenate([origin, one, direction, zero], axis=1)
+    tmax = jnp.broadcast_to(
+        jnp.asarray(t_max, jnp.float32), (n,)
+    ).reshape(n, 1)
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        tmax = jnp.pad(tmax, ((0, pad), (0, 0)))
+    t, idx = _call(x, tmax, pack.tri, pack.aabb, pack.n_tri, interpret)
+    return t[:n], idx[:n]

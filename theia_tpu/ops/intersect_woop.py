@@ -139,7 +139,10 @@ def pack_woop(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> WoopPack:
     return WoopPack(jnp.asarray(b), jnp.asarray(aabb), n_tri)
 
 
-def _kernel(x_ref, tmax_ref, b_ref, aabb_ref, t_out, idx_out, t_sc, i_sc):
+def _kernel(
+    x_ref, tmax_ref, b_ref, aabb_ref, t_out, idx_out, t_sc, i_sc,
+    *, precision
+):
     n_tiles = b_ref.shape[0]
 
     ox = x_ref[:, 0:1]
@@ -197,7 +200,7 @@ def _kernel(x_ref, tmax_ref, b_ref, aabb_ref, t_out, idx_out, t_sc, i_sc):
                 b_ref[k],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
             )
             o1 = y[:, 0 * BT : 1 * BT]
             o2 = y[:, 1 * BT : 2 * BT]
@@ -233,11 +236,16 @@ def _kernel(x_ref, tmax_ref, b_ref, aabb_ref, t_out, idx_out, t_sc, i_sc):
     idx_out[:] = i_sc[:]
 
 
-@functools.partial(jax.jit, static_argnames=("n_tri", "interpret"))
-def _call(x, tmax, b, aabb, n_tri, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("n_tri", "interpret", "precision")
+)
+def _call(x, tmax, b, aabb, n_tri, interpret=False, precision="highest"):
     n_pad = x.shape[0]
+    kernel = functools.partial(
+        _kernel, precision=jax.lax.Precision(precision)
+    )
     t, idx = pl.pallas_call(
-        _kernel,
+        kernel,
         grid=(n_pad // BN,),
         in_specs=[
             pl.BlockSpec((BN, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -272,9 +280,20 @@ def _call(x, tmax, b, aabb, n_tri, interpret=False):
 
 
 def nearest_triangle_woop(
-    pack: WoopPack, origin, direction, t_max, *, interpret: bool | None = None
+    pack: WoopPack,
+    origin,
+    direction,
+    t_max,
+    *,
+    interpret: bool | None = None,
+    precision: str = "highest",
 ):
-    """Nearest-hit query: returns (t, tri_idx); t=inf / idx=-1 on miss."""
+    """Nearest-hit query: returns (t, tri_idx); t=inf / idx=-1 on miss.
+
+    ``precision``: matmul precision for the transform dot. "highest"
+    (bf16x6, f32-exact) is the default; "high" (bf16x3, ~2^-16 relative)
+    is ~2x faster on the MXU and still well inside the kernel's
+    watertightness margins for scenes at unit scale."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = origin.shape[0]
@@ -289,5 +308,5 @@ def nearest_triangle_woop(
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
         tmax = jnp.pad(tmax, ((0, pad), (0, 0)))
-    t, idx = _call(x, tmax, pack.b, pack.aabb, pack.n_tri, interpret)
+    t, idx = _call(x, tmax, pack.b, pack.aabb, pack.n_tri, interpret, precision)
     return t[:n], idx[:n]

@@ -229,28 +229,27 @@ class MeshStore:
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class ScenePack:
-    """Flat device arrays describing the scene (the BLAS/TLAS analogue)."""
+    """Flat device arrays describing the scene (the BLAS/TLAS analogue).
 
-    # world-space triangle soup (T, 3) each
+    Layout is gather-aware: the intersection scan streams the SoA
+    world-triangle arrays linearly, while everything needed to
+    *reconstruct* the single winning hit per lane lives in two wide
+    row-tables (``tri_data``/``inst_data``) so the per-lane random access
+    is two row gathers instead of ~14 (TPU gathers cost ~2 ms per 256k
+    lanes each — reconstruction dominated round-1 segment time)."""
+
+    # world-space triangle soup (T, 3) each — scanned, never gathered
     w_v0: jax.Array
     w_e1: jax.Array  # v1 - v0
     w_e2: jax.Array  # v2 - v0
-    # object-space data for hit reconstruction
-    o_v0: jax.Array
-    o_e1: jax.Array
-    o_e2: jax.Array
-    o_n0: jax.Array  # vertex normals
-    o_n1: jax.Array
-    o_n2: jax.Array
-    tri_instance: jax.Array  # i32 (T,) instance id per triangle
-    # per-instance tables (K, ...)
-    world_to_obj: jax.Array  # (K, 3, 4)
-    obj_to_world: jax.Array  # (K, 3, 4)
-    inside_medium: jax.Array  # i32 medium handle
-    outside_medium: jax.Array
-    flags_inward: jax.Array  # u32
-    flags_outward: jax.Array
-    detector_id: jax.Array  # i32
+    # per-triangle reconstruction rows (T, 32) f32, see accel.py TRI_* cols:
+    # object-space v0/e1/e2, vertex normals n0/n1/n2, world v0/e1/e2,
+    # instance id (as float; exact below 2^24)
+    tri_data: jax.Array
+    # per-instance rows (K, 32) f32, see accel.py INST_* cols: world_to_obj
+    # (3x4), obj_to_world (3x4), inside/outside medium handle, inward/
+    # outward flags, detector id (ints stored as exact small floats)
+    inst_data: jax.Array
     # media tables
     media: MediumStore
     # scene-global
@@ -259,6 +258,8 @@ class ScenePack:
     upper_bbox: jax.Array
     # optional threaded-BVH acceleration data (see theia_tpu.native)
     bvh: "object | None" = None
+    # optional Woop/MXU kernel tables (see theia_tpu.ops.intersect_woop)
+    woop: "object | None" = None
 
 
 class Scene:
@@ -280,8 +281,8 @@ class Scene:
     ) -> None:
         if not isinstance(materials, MaterialStore):
             materials = MaterialStore.pack(list(materials.values()))
-        if accel not in ("brute", "bvh"):
-            raise ValueError("accel must be 'brute' or 'bvh'")
+        if accel not in ("brute", "bvh", "woop"):
+            raise ValueError("accel must be 'brute', 'bvh' or 'woop'")
         self.instances = instances
         self.materials = materials
         self.medium = medium
@@ -331,33 +332,73 @@ class Scene:
             fl_out.append(int(store.flags_outward[mat]))
             det.append(inst.detectorId)
 
-        cat = lambda xs: jnp.asarray(np.concatenate(xs, axis=0))
+        catn = lambda xs: np.concatenate(xs, axis=0)
+
+        if self.accel == "woop":
+            # Morton-order triangles so each kernel tile gets a spatially
+            # tight AABB (enables per-(ray-block, tile) culling)
+            from .ops.intersect_woop import morton_order
+
+            perm = morton_order(catn(w_v0), catn(w_e1), catn(w_e2))
+            order = lambda xs: [catn(xs)[perm]]
+            (w_v0, w_e1, w_e2, o_v0, o_e1, o_e2, o_n0, o_n1, o_n2, tri_inst) = (
+                order(w_v0), order(w_e1), order(w_e2),
+                order(o_v0), order(o_e1), order(o_e2),
+                order(o_n0), order(o_n1), order(o_n2), order(tri_inst),
+            )
+
+        woop_pack = None
+        if self.accel == "woop":
+            from .ops.intersect_woop import pack_woop
+
+            woop_pack = pack_woop(catn(w_v0), catn(w_e1), catn(w_e2))
+
         bvh_pack = None
         if self.accel == "bvh":
             from .native import build_bvh
             from .ops.bvh_traverse import pack_bvh
 
-            cv0 = np.concatenate(w_v0)
-            ce1 = np.concatenate(w_e1)
-            ce2 = np.concatenate(w_e2)
+            cv0 = catn(w_v0)
+            ce1 = catn(w_e1)
+            ce2 = catn(w_e2)
             leaf = 4
             bvh = build_bvh(cv0, ce1, ce2, leaf_size=leaf)
             bvh_pack = pack_bvh(bvh, cv0, ce1, ce2, leaf)
+
+        # wide reconstruction rows (see ScenePack docstring / accel.py cols)
+        n_tri = sum(len(a) for a in tri_inst)
+        tri_data = np.zeros((n_tri, 32), np.float32)
+        tri_data[:, 0:3] = catn(o_v0)
+        tri_data[:, 3:6] = catn(o_e1)
+        tri_data[:, 6:9] = catn(o_e2)
+        tri_data[:, 9:12] = catn(o_n0)
+        tri_data[:, 12:15] = catn(o_n1)
+        tri_data[:, 15:18] = catn(o_n2)
+        tri_data[:, 18:21] = catn(w_v0)
+        tri_data[:, 21:24] = catn(w_e1)
+        tri_data[:, 24:27] = catn(w_e2)
+        tri_data[:, 27] = catn(tri_inst).astype(np.float32)
+
+        n_inst = len(self.instances)
+        inst_data = np.zeros((n_inst, 32), np.float32)
+        inst_data[:, 0:12] = np.stack(w2o).reshape(n_inst, 12)
+        inst_data[:, 12:24] = np.stack(o2w).reshape(n_inst, 12)
+        inst_data[:, 24] = np.asarray(ins_med, np.float32)
+        inst_data[:, 25] = np.asarray(out_med, np.float32)
+        inst_data[:, 26] = np.asarray(fl_in, np.float32)
+        inst_data[:, 27] = np.asarray(fl_out, np.float32)
+        inst_data[:, 28] = np.asarray(det, np.float32)
+
         return ScenePack(
-            w_v0=cat(w_v0), w_e1=cat(w_e1), w_e2=cat(w_e2),
-            o_v0=cat(o_v0), o_e1=cat(o_e1), o_e2=cat(o_e2),
-            o_n0=cat(o_n0), o_n1=cat(o_n1), o_n2=cat(o_n2),
-            tri_instance=cat(tri_inst),
-            world_to_obj=jnp.asarray(np.stack(w2o)),
-            obj_to_world=jnp.asarray(np.stack(o2w)),
-            inside_medium=jnp.asarray(ins_med, jnp.int32),
-            outside_medium=jnp.asarray(out_med, jnp.int32),
-            flags_inward=jnp.asarray(fl_in, jnp.uint32),
-            flags_outward=jnp.asarray(fl_out, jnp.uint32),
-            detector_id=jnp.asarray(det, jnp.int32),
+            w_v0=jnp.asarray(catn(w_v0)),
+            w_e1=jnp.asarray(catn(w_e1)),
+            w_e2=jnp.asarray(catn(w_e2)),
+            tri_data=jnp.asarray(tri_data),
+            inst_data=jnp.asarray(inst_data),
             media=store.media,
             medium=jnp.asarray(store.media.handle(self.medium), jnp.int32),
             lower_bbox=jnp.asarray(self.bbox.lowerCorner, jnp.float32),
             upper_bbox=jnp.asarray(self.bbox.upperCorner, jnp.float32),
             bvh=bvh_pack,
+            woop=woop_pack,
         )
