@@ -678,8 +678,9 @@ class MuonTrackLightSource(LightSource):
 
     name = "Muon Track Light Source"
     supportForward = True
-    supportBackward = False  # the reference's IS backward is not yet built
+    supportBackward = True
     nRNGForward = 3
+    nRNGBackward = 1
     _param_names = (
         "startPosition",
         "startTime",
@@ -744,6 +745,64 @@ class MuonTrackLightSource(LightSource):
         if self.applyFrankTamm:
             contrib = contrib * _frank_tamm_photons(constants.n, wavelength)
         return SourceRay(position, ray_dir, start_time, contrib), rng
+
+    def sample_backward(
+        self, params, observer, normal, wavelength, constants, rng: RNGState
+    ):
+        """Importance sample the track point seen from ``observer``.
+
+        Mirrors the reference's proxy-pdf scheme
+        (shader/lightsource.particles.muon.glsl sampleLight backward):
+        the attenuation exp(-mu_t t) along the track has no closed-form
+        integral, so the point is drawn from 1/(d^2 + (a x)^2) around the
+        closest point C on the track line (x = signed distance from C,
+        d = dist(observer, line)), whose inverse CDF is a tangent; the
+        heuristic shape a^2 = 2.2/(b(b+2)), b = ln2/(mu_t d) matches the
+        proxy to the attenuation scale."""
+        start = jnp.broadcast_to(params["startPosition"], observer.shape)
+        end = jnp.broadcast_to(params["endPosition"], observer.shape)
+        seg = end - start
+        track_dist = jnp.sqrt(jnp.maximum(dot(seg, seg), 1e-30))
+        track_dir = seg / track_dist[..., None]
+
+        to_obs = observer - start
+        start_dist = jnp.sqrt(jnp.maximum(dot(to_obs, to_obs), 1e-30))
+        cos_start = dot(to_obs / start_dist[..., None], track_dir)
+        # signed distances along the track relative to the closest point C
+        dist_start2c = -cos_start * start_dist
+        dist_end2c = track_dist + dist_start2c
+        d = jnp.sqrt(jnp.maximum(1.0 - cos_start * cos_start, 0.0)) * start_dist
+        d = jnp.maximum(d, 1e-4)  # observer on the track line
+
+        b = jnp.float32(np.log(2.0)) / (d * jnp.maximum(constants.mu_e, 1e-6))
+        a2 = 2.2 / (b * (b + 2.0))
+        a = jnp.sqrt(a2)
+        # proxy CDF normalization; the 1/(a d) factor cancels in the
+        # inverse CDF and is reintroduced in the contribution below
+        int_lo = jnp.arctan(a * dist_start2c / d)
+        int_hi = jnp.arctan(a * dist_end2c / d)
+        norm = int_hi - int_lo
+        uu, rng = rng.uniform()
+        uu = uu * norm + int_lo
+        x = d / a * jnp.tan(uu)
+        contrib = norm / (a * d) * (d * d + a2 * x * x)
+
+        x = x - dist_start2c  # x=0 -> ray starts at startPosition
+        ray_pos = start + x[..., None] * track_dir
+        ray_dir = normalize(observer - ray_pos)
+        time = params["startTime"] + x / jnp.float32(u.speed_of_light)
+        contrib = contrib * dw_dA(ray_pos, observer, normal)
+
+        cos_obs = dot(track_dir, ray_dir)
+        contrib = contrib * _eval_emission_angle(
+            constants.n, params["_a_angular"], params["_b_angular"], cos_obs
+        )
+        contrib = contrib * params["_energyScale"]
+        if self.applyFrankTamm:
+            contrib = contrib * _frank_tamm_photons(constants.n, wavelength)
+        # 1/2pi: the Frank-Tamm formula above misses the d/d(phi) factor
+        contrib = contrib / jnp.float32(2.0 * np.pi)
+        return SourceRay(ray_pos, ray_dir, time, contrib), rng
 
 
 class ParticleCascadeLightSource(LightSource):
