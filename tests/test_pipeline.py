@@ -68,6 +68,54 @@ def test_scheduler_processes_all_batches():
     assert results[1].sum() > 1.5 * results[0].sum()
 
 
+def test_runtime_batch_size_no_retrace():
+    """batchSize is a runtime parameter (the indirect-dispatch analogue,
+    reference src/theia/trace.py:354-408): changing it via the pipeline
+    never retraces, masks exactly the dropped lanes, and renormalizes."""
+    full = 4 * 1024
+    half = full // 2
+
+    def make(batch, capacity=None):
+        return VolumeForwardTracer(
+            batch,
+            SphericalLightSource(
+                position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e6
+            ),
+            InnerSphereTarget(position=(0.0, 0.0, 0.0), radius=50.0),
+            UniformWavelengthSource(lambdaRange=(400.0, 500.0)),
+            HistogramHitResponse(nBins=40, t0=0.0, binSize=20.0),
+            PhiloxRNG(key=0xC0FFEE),
+            medium=Model().createMedium(num_lambda=64, num_theta=64),
+            nScattering=6,
+            scatterCoefficient=0.02,
+            capacity=capacity,
+        )
+
+    tracer = make(full)
+    pipe = Pipeline(tracer)
+    h_full, _ = pipe.run()
+    pipe.setParams({"tracer__batchSize": half})
+    assert tracer.normalization == 1.0 / half
+    # rewind the RNG so the sub-batch sees the same streams as a
+    # dedicated half-size tracer
+    tracer.rng.offset = 0
+    h_half, _ = pipe.run()
+    assert tracer._jit_trace._cache_size() == 1  # no retrace
+
+    ref = make(half)
+    h_ref, _ = ref.run()
+    np.testing.assert_allclose(np.asarray(h_half), np.asarray(h_ref), rtol=1e-6)
+    # and the full batch is a strict superset: un-normalized sums grow
+    assert np.asarray(h_full).sum() > 0
+
+    # batchSize beyond capacity must be rejected
+    try:
+        pipe.setParams({"tracer__batchSize": 2 * full})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_converge_histogram_task():
     tracer = build(4 * 1024)
     done = []

@@ -31,8 +31,11 @@ from .trace.core import EventResultCode
 
 __all__ = ["SurfaceHit", "intersect_scene", "is_visible", "offset_ray"]
 
+import os
+
 #: triangles per scan chunk; intermediates are (N, CHUNK) f32
-DEFAULT_CHUNK = 256
+DEFAULT_CHUNK = int(os.environ.get("THEIA_CHUNK", "256"))
+_SCAN_UNROLL = int(os.environ.get("THEIA_SCAN_UNROLL", "1"))
 
 
 @jax.tree_util.register_dataclass
@@ -137,10 +140,34 @@ def _nearest_triangle(pack: ScenePack, origin, direction, t_max, chunk: int):
         body,
         init,
         (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, bases),
+        unroll=_SCAN_UNROLL,
     )
     miss = idx < 0
     t = jnp.where(miss, jnp.inf, t)
     return t, idx
+
+
+def _nearest(pack: ScenePack, origin, direction, t_max, chunk: int):
+    """Nearest-hit query via the scene's chosen acceleration backend.
+
+    All backends share the contract (t, tri_idx) with t=inf / idx=-1 on
+    miss and indices into the pack's triangle tables (the Pallas backends
+    Morton-reorder triangles at build time, so their tables are permuted
+    consistently)."""
+    if pack.mt is not None:
+        from .ops.intersect_mt_pallas import nearest_triangle_mt
+
+        return nearest_triangle_mt(pack.mt, origin, direction, t_max)
+    if pack.woop is not None:
+        from .ops.intersect_woop import nearest_triangle_woop
+
+        return nearest_triangle_woop(pack.woop, origin, direction, t_max)
+    if pack.bvh is not None:
+        from .ops.bvh_traverse import nearest_triangle_bvh
+
+        t, tri, _, _ = nearest_triangle_bvh(pack.bvh, origin, direction, t_max)
+        return t, tri
+    return _nearest_triangle(pack, origin, direction, t_max, chunk)
 
 
 def offset_ray(p: jax.Array, n: jax.Array) -> jax.Array:
@@ -172,16 +199,7 @@ def intersect_scene(
     Reconstruction reads exactly two wide rows per lane (triangle row +
     instance row); barycentrics for the single winner are recomputed from
     the world triangle in the row (TPU gathers are the cost driver here)."""
-    if pack.woop is not None:
-        from .ops.intersect_woop import nearest_triangle_woop
-
-        t, tri = nearest_triangle_woop(pack.woop, origin, direction, t_max)
-    elif pack.bvh is not None:
-        from .ops.bvh_traverse import nearest_triangle_bvh
-
-        t, tri, _, _ = nearest_triangle_bvh(pack.bvh, origin, direction, t_max)
-    else:
-        t, tri = _nearest_triangle(pack, origin, direction, t_max, chunk)
+    t, tri = _nearest(pack, origin, direction, t_max, chunk)
     valid = tri >= 0
     tri_safe = jnp.maximum(tri, 0)
 
@@ -274,14 +292,5 @@ def is_visible(
     d = target - observer
     dist = jnp.sqrt(jnp.maximum(dot(d, d), 1e-30))
     direction = d / dist[:, None]
-    if pack.woop is not None:
-        from .ops.intersect_woop import nearest_triangle_woop
-
-        t, tri = nearest_triangle_woop(pack.woop, observer, direction, dist)
-    elif pack.bvh is not None:
-        from .ops.bvh_traverse import nearest_triangle_bvh
-
-        t, tri, _, _ = nearest_triangle_bvh(pack.bvh, observer, direction, dist)
-    else:
-        t, tri = _nearest_triangle(pack, observer, direction, dist, chunk)
+    t, tri = _nearest(pack, observer, direction, dist, chunk)
     return tri < 0

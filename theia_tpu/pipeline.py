@@ -84,10 +84,7 @@ class Pipeline:
             self.setParams(params)
         tracer = self._tracer
         p = tracer.params()
-        import jax.numpy as jnp
-
-        streams = jnp.arange(tracer.batchSize, dtype=jnp.uint32)
-        out = tracer._jit_trace(p, tracer.rng.counter_words, streams)
+        out = tracer._jit_trace(p, tracer.rng.counter_words, tracer.streams())
         tracer.rng.advance()
         return out, p
 

@@ -46,6 +46,9 @@ __all__ = [
     "PhiloxRNG",
     "RNGState",
     "RNG",
+    "SobolQRNG",
+    "SobolState",
+    "sobol_owen_uniform",
 ]
 
 # Philox 4x32 round multipliers and Weyl key schedule constants
@@ -195,6 +198,17 @@ class RNG:
     def state(self, stream, dim=0) -> RNGState:  # pragma: no cover - interface
         raise NotImplementedError
 
+    def state_for(self, counter: jax.Array, streams: jax.Array) -> "RNGState":
+        """Build the traced per-lane state from the jitted step's
+        (counter, streams) arguments — called inside ``_trace_batch``."""
+        raise NotImplementedError
+
+    def configure(self, n_draws: int, n_streams: int) -> None:
+        """Called once by the tracer with its per-path draw budget and lane
+        capacity; sets the default batch advance."""
+        if getattr(self, "autoAdvance", 0) == 0:
+            self.autoAdvance = n_draws
+
 
 @dataclass
 class PhiloxRNG(RNG):
@@ -245,6 +259,14 @@ class PhiloxRNG(RNG):
             dim=_u32(jnp.broadcast_to(_u32(dim), stream.shape)),
         )
 
+    def state_for(self, counter: jax.Array, streams: jax.Array) -> RNGState:
+        return RNGState(
+            key=self.key_words,
+            counter=counter,
+            stream=streams,
+            dim=jnp.zeros_like(streams),
+        )
+
     def advance(self, n: int | None = None) -> None:
         """Advance ``offset`` by n draws (default: ``autoAdvance``)."""
         self.offset += self.autoAdvance if n is None else n
@@ -265,14 +287,149 @@ def rng_buffer(rng: "PhiloxRNG", n_streams: int, n_draws: int) -> jax.Array:
     return philox_uniform(rng.key_words, rng.counter_words, streams, draws)
 
 
-class SobolQRNG(RNG):
-    """Owen-scrambled Sobol sampler (host-side).
+# ---------------------------------------------------------------------------
+# Owen-scrambled Sobol (on-device)
+# ---------------------------------------------------------------------------
+#
+# The reference ships a GPU Sobol sampler that is documented broken
+# (reference: src/theia/random.py:285-352 SobolQRNG, shader/random.sobol.glsl,
+# docs/pipeline/components.md:195-197). This is a working TPU-native
+# replacement following Burley, "Practical Hash-based Owen Scrambling"
+# (JCGT 2020): per lane, the sample index is shuffled with a nested uniform
+# scramble, the Sobol value for the requested dimension is an XOR-fold of
+# direction numbers (vendored from scipy's Joe-Kuo tables at build time),
+# and the result is Owen-scrambled with a per-dimension hash seed. All
+# integer math is uint32 jnp -> runs on the VPU inside tracers.
 
-    The reference's GPU Sobol implementation is documented broken
-    (docs/pipeline/components.md:195-197); this provides the quasi-random
-    sequence via scipy for host-side workflows (Host* sources, statistical
-    tests). Tracer integration intentionally mirrors the reference's
-    status and falls back to Philox.
+_LK1 = jnp.uint32(0x6C50B47C)
+_LK2 = jnp.uint32(0xB82F1E52)
+_LK3 = jnp.uint32(0xC7AFE638)
+_LK4 = jnp.uint32(0x8D22F6E6)
+
+
+def _reverse_bits32(x: jax.Array) -> jax.Array:
+    x = ((x >> 1) & jnp.uint32(0x55555555)) | ((x & jnp.uint32(0x55555555)) << 1)
+    x = ((x >> 2) & jnp.uint32(0x33333333)) | ((x & jnp.uint32(0x33333333)) << 2)
+    x = ((x >> 4) & jnp.uint32(0x0F0F0F0F)) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+    x = ((x >> 8) & jnp.uint32(0x00FF00FF)) | ((x & jnp.uint32(0x00FF00FF)) << 8)
+    return (x >> 16) | (x << 16)
+
+
+def _laine_karras(x: jax.Array, seed: jax.Array) -> jax.Array:
+    """Hash whose output bit i depends only on input bits <= i — a random
+    permutation of each dyadic residue class (Laine & Karras 2011 as hashed
+    by Burley 2020)."""
+    x = x + seed
+    x = x ^ (x * _LK1)
+    x = x ^ (x * _LK2)
+    x = x ^ (x * _LK3)
+    x = x ^ (x * _LK4)
+    return x
+
+
+def _nested_uniform_scramble(x: jax.Array, seed: jax.Array) -> jax.Array:
+    """Owen scramble of the binary radical-inverse domain (Burley 2020 §3)."""
+    return _reverse_bits32(_laine_karras(_reverse_bits32(x), seed))
+
+
+def _hash32(x: jax.Array) -> jax.Array:
+    """Finalizing integer hash (Burley 2020, listing 5)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x21F0AAAD)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0xD35A2D97)
+    x = x ^ (x >> 15)
+    return x
+
+
+_SOBOL_DIR_CACHE: dict[int, "object"] = {}  # numpy, so jit tracing never leaks
+
+
+def sobol_direction_numbers(dims: int) -> jax.Array:
+    """(dims, 32) uint32 direction-number table (Joe-Kuo, via scipy)."""
+    if dims not in _SOBOL_DIR_CACHE:
+        from scipy.stats import qmc
+
+        eng = qmc.Sobol(dims, scramble=False, bits=32)
+        import numpy as np
+
+        _SOBOL_DIR_CACHE[dims] = np.asarray(eng._sv, dtype=np.uint32)
+    return jnp.asarray(_SOBOL_DIR_CACHE[dims])
+
+
+def sobol_owen_uniform(
+    dirs: jax.Array, seed: jax.Array, index: jax.Array, dim: jax.Array
+) -> jax.Array:
+    """Draw dimension ``dim`` of Owen-scrambled Sobol sample ``index``.
+
+    Dimensions beyond the table fall back to a Philox draw keyed on the
+    scramble seed — plain (but well-distributed) Monte Carlo for the tail
+    dims, QMC where it matters (the first draws dominate path geometry).
+    """
+    n_dims = dirs.shape[0]
+    index = _u32(index)
+    dim = _u32(dim)
+    # decorrelate paths: shuffle the sample index (aligned 2^m blocks map
+    # to aligned 2^m blocks, preserving elementary intervals)
+    idx = _nested_uniform_scramble(index, _hash32(seed ^ jnp.uint32(0xA511E9B3)))
+    # Sobol value: XOR-fold direction numbers over the set bits of idx
+    dim_safe = jnp.minimum(dim, jnp.uint32(n_dims - 1))
+    rows = jnp.take(dirs, dim_safe, axis=0)  # (..., 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (idx[..., None] >> shifts) & jnp.uint32(1)
+    masked = jnp.where(bits == 1, rows, jnp.uint32(0))
+    value = jax.lax.reduce(
+        masked, jnp.uint32(0), jax.lax.bitwise_xor, (masked.ndim - 1,)
+    )
+    # per-dimension Owen scramble
+    value = _nested_uniform_scramble(value, _hash32(dim ^ _hash32(seed)))
+    # tail dimensions: hash-based uniform keyed on (seed, shuffled index, dim)
+    tail = philox_uniform(
+        jnp.stack([seed, _hash32(seed)]),
+        jnp.zeros(4, jnp.uint32),
+        idx,
+        dim,
+    )
+    return jnp.where(dim < n_dims, uniform_from_bits(value), tail)
+
+
+@_tree_dataclass
+@dataclass(frozen=True)
+class SobolState:
+    """Traceable per-lane cursor of the Owen-scrambled Sobol generator.
+
+    Drop-in for :class:`RNGState` inside tracers: ``stream`` is the global
+    sample index (lane + batch offset), ``dim`` the Sobol dimension."""
+
+    dirs: jax.Array  # uint32[D, 32]
+    seed: jax.Array  # uint32 scalar
+    stream: jax.Array  # uint32 per lane (sample index incl. batch offset)
+    dim: jax.Array  # uint32 per lane
+
+    def uniform(self) -> tuple[jax.Array, "SobolState"]:
+        u = sobol_owen_uniform(self.dirs, self.seed, self.stream, self.dim)
+        return u, replace(self, dim=self.dim + jnp.uint32(1))
+
+    def uniform2d(self) -> tuple[tuple[jax.Array, jax.Array], "SobolState"]:
+        u1 = sobol_owen_uniform(self.dirs, self.seed, self.stream, self.dim)
+        u2 = sobol_owen_uniform(
+            self.dirs, self.seed, self.stream, self.dim + jnp.uint32(1)
+        )
+        return (u1, u2), replace(self, dim=self.dim + jnp.uint32(2))
+
+    def skip(self, n: int) -> "SobolState":
+        return replace(self, dim=self.dim + jnp.uint32(n))
+
+
+class SobolQRNG(RNG):
+    """Owen-scrambled Sobol quasi-random generator — usable as the ``rng``
+    of any tracer (fixes what the reference documents broken:
+    src/theia/random.py:285-352, shader/random.sobol.glsl).
+
+    Each light path consumes one Sobol point; successive batches use
+    successive blocks of ``capacity`` sample indices (keep the lane
+    capacity a power of two for exact elementary-interval alignment).
+    Dimensions beyond ``dims`` fall back to hash-based uniforms.
     """
 
     def __init__(self, *, seed: int = 0, dims: int = 64) -> None:
@@ -281,14 +438,53 @@ class SobolQRNG(RNG):
         self.offset = 0
         self.autoAdvance = 0
 
+    def configure(self, n_draws: int, n_streams: int) -> None:
+        if self.autoAdvance == 0:
+            self.autoAdvance = n_streams
+        if n_draws > self.dims:
+            warnings.warn(
+                f"tracer draws up to {n_draws} dims/path but SobolQRNG has "
+                f"{self.dims} Sobol dims; the tail falls back to hash-based "
+                "uniforms (increase dims= to extend QMC coverage)"
+            )
+
+    @property
+    def counter_words(self) -> jax.Array:
+        """Batch offset, encoded like a Philox counter (only word 0 used)."""
+        return jnp.array([self.offset & 0xFFFFFFFF, 0, 0, 0], jnp.uint32)
+
+    def state_for(self, counter: jax.Array, streams: jax.Array) -> SobolState:
+        return SobolState(
+            dirs=sobol_direction_numbers(self.dims),
+            seed=jnp.uint32(self.seed & 0xFFFFFFFF),
+            stream=streams + _u32(counter[0]),
+            dim=jnp.zeros_like(streams),
+        )
+
+    def state(self, stream, dim=0) -> SobolState:
+        stream = _u32(stream)
+        return SobolState(
+            dirs=sobol_direction_numbers(self.dims),
+            seed=jnp.uint32(self.seed & 0xFFFFFFFF),
+            stream=stream + jnp.uint32(self.offset & 0xFFFFFFFF),
+            dim=_u32(jnp.broadcast_to(_u32(dim), stream.shape)),
+        )
+
     def sample(self, n: int) -> "np.ndarray":
-        from scipy.stats import qmc
+        """Host-side (n, dims) buffer of the same sequence (RNGBufferSink
+        analogue)."""
         import numpy as np
 
-        eng = qmc.Sobol(self.dims, scramble=True, seed=self.seed)
-        if self.offset:
-            eng.fast_forward(self.offset)
-        return eng.random(n)
+        st = self.state(jnp.arange(n, dtype=jnp.uint32)[:, None])
+        dims = jnp.arange(self.dims, dtype=jnp.uint32)[None, :]
+        return np.asarray(
+            sobol_owen_uniform(
+                sobol_direction_numbers(self.dims),
+                jnp.uint32(self.seed & 0xFFFFFFFF),
+                st.stream,
+                dims,
+            )
+        )
 
     def advance(self, n: int | None = None) -> None:
         self.offset += self.autoAdvance if n is None else n

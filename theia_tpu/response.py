@@ -92,6 +92,11 @@ class HitResponse(Component):
         """Called by the tracer during construction."""
         self._config = config
 
+    def renormalize(self, normalization: float) -> None:
+        """Hook for runtime batchSize changes: the tracer pushes the new
+        ``1/batchSize`` here. Responses that derived their normalization
+        from the trace config follow it; user-set values stay fixed."""
+
     def init(self):
         """Fresh accumulator state for one batch."""
         raise NotImplementedError
@@ -158,6 +163,11 @@ class HistogramHitResponse(HitResponse):
         self.value_response.prepare(config)
         if self._normalization is None:
             self._normalization = config.normalization
+            self._auto_norm = True
+
+    def renormalize(self, normalization: float) -> None:
+        if getattr(self, "_auto_norm", False):
+            self._normalization = normalization
 
     def init(self):
         return jnp.zeros(self.nBins, jnp.float32)

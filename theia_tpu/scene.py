@@ -260,6 +260,8 @@ class ScenePack:
     bvh: "object | None" = None
     # optional Woop/MXU kernel tables (see theia_tpu.ops.intersect_woop)
     woop: "object | None" = None
+    # optional VPU Moeller-Trumbore kernel tables (ops.intersect_mt_pallas)
+    mt: "object | None" = None
 
 
 class Scene:
@@ -281,8 +283,8 @@ class Scene:
     ) -> None:
         if not isinstance(materials, MaterialStore):
             materials = MaterialStore.pack(list(materials.values()))
-        if accel not in ("brute", "bvh", "woop"):
-            raise ValueError("accel must be 'brute', 'bvh' or 'woop'")
+        if accel not in ("brute", "bvh", "woop", "mt"):
+            raise ValueError("accel must be 'brute', 'bvh', 'woop' or 'mt'")
         self.instances = instances
         self.materials = materials
         self.medium = medium
@@ -334,7 +336,7 @@ class Scene:
 
         catn = lambda xs: np.concatenate(xs, axis=0)
 
-        if self.accel == "woop":
+        if self.accel in ("woop", "mt"):
             # Morton-order triangles so each kernel tile gets a spatially
             # tight AABB (enables per-(ray-block, tile) culling)
             from .ops.intersect_woop import morton_order
@@ -352,6 +354,12 @@ class Scene:
             from .ops.intersect_woop import pack_woop
 
             woop_pack = pack_woop(catn(w_v0), catn(w_e1), catn(w_e2))
+
+        mt_pack = None
+        if self.accel == "mt":
+            from .ops.intersect_mt_pallas import pack_mt
+
+            mt_pack = pack_mt(catn(w_v0), catn(w_e1), catn(w_e2))
 
         bvh_pack = None
         if self.accel == "bvh":
@@ -401,4 +409,5 @@ class Scene:
             upper_bbox=jnp.asarray(self.bbox.upperCorner, jnp.float32),
             bvh=bvh_pack,
             woop=woop_pack,
+            mt=mt_pack,
         )

@@ -39,6 +39,8 @@ from ..polarization import (
 from ..random import PhiloxRNG, RNGState
 from ..target import Target
 from .core import (
+    TracerBase,
+    active_lanes,
     EventResultCode,
     HitItem,
     PropagateParams,
@@ -136,16 +138,17 @@ def sample_direct(
         log_contrib=jnp.zeros_like(lam),
         constants=constants,
     )
+    lane = active_lanes(streams, p)
     cb_state = tracer.callback.on_event(
         p["callback"],
         cb_state,
         ray,
         jnp.full_like(streams, int(EventResultCode.RAY_CREATED), jnp.int32),
-        jnp.ones_like(streams, dtype=bool),
+        lane,
         0,
     )
     # light must come from the front side and be visible
-    ok = dot(cam_pt.normal, light.direction) < 0.0
+    ok = lane & (dot(cam_pt.normal, light.direction) < 0.0)
     if occluder is not None:
         ok &= occluder(cam_pt.position, light.position)
     cam_ray = tracer.camera.ray_from_point(
@@ -186,12 +189,12 @@ def sample_direct(
         jnp.int32(EventResultCode.RAY_MISSED),
     )
     cb_state = tracer.callback.on_event(
-        p["callback"], cb_state, ray, code, jnp.ones_like(streams, dtype=bool), 1
+        p["callback"], cb_state, ray, code, lane, 1
     )
     return resp_state, cb_state, rng
 
 
-class VolumeBackwardTracer(Component):
+class VolumeBackwardTracer(TracerBase):
     """Camera-origin volume path tracing with per-vertex light connections
     (reference: src/theia/trace.py:773-1045)."""
 
@@ -222,8 +225,7 @@ class VolumeBackwardTracer(Component):
             raise ValueError("Light source does not support backward mode!")
         if not disableDirectLighting and not camera.supportDirect:
             raise ValueError("Camera does not support direct mode!")
-        self.batchSize = batchSize
-        self.capacity = batchSize if capacity is None else capacity
+        self._init_batch(batchSize, capacity)
         self.source = source
         self.camera = camera
         self.wavelengthSource = wavelengthSource
@@ -254,9 +256,7 @@ class VolumeBackwardTracer(Component):
             + rngStride * nScattering
             + self.maxHitsPerThread * response.nRNGSamples
         )
-        if rng.autoAdvance == 0:
-            rng.autoAdvance = self.nRNGSamples
-        self.normalization = 1.0 / batchSize
+        rng.configure(self.nRNGSamples, self.capacity)
         response.prepare(
             TraceConfig(
                 batch_size=batchSize,
@@ -286,6 +286,7 @@ class VolumeBackwardTracer(Component):
     def params(self):
         p = {
             "tracer": {
+                "batchSize": jnp.asarray(self.batchSize, jnp.uint32),
                 "scatterCoefficient": jnp.asarray(
                     self.scatterCoefficient, jnp.float32
                 ),
@@ -329,12 +330,7 @@ class VolumeBackwardTracer(Component):
     def _trace_batch(self, p, counter, streams):
         medium = p["medium"]
         prop = self._propagation(p)
-        rng = RNGState(
-            key=self.rng.key_words,
-            counter=counter,
-            stream=streams,
-            dim=jnp.zeros_like(streams),
-        )
+        rng = self.rng.state_for(counter, streams)
         resp_state = self.response.init()
         cb_state = self.callback.init(streams.shape[0], self.nScattering + 4)
 
@@ -367,7 +363,7 @@ class VolumeBackwardTracer(Component):
             log_contrib=jnp.zeros_like(lam),
             constants=constants,
         )
-        alive = ~ray.is_bad()
+        alive = active_lanes(streams, p) & ~ray.is_bad()
         cb_state = self.callback.on_event(
             p["callback"],
             cb_state,
@@ -517,21 +513,3 @@ class VolumeBackwardTracer(Component):
         )
         return resp_state, cb_state
 
-    def run(self, params=None, *, advance: bool = True):
-        p = self.params() if params is None else params
-        streams = jnp.arange(self.batchSize, dtype=jnp.uint32)
-        counter = self.rng.counter_words
-        resp_state, cb_state = self._jit_trace(p, counter, streams)
-        if advance:
-            self.rng.advance()
-        return (
-            self.response.result(p["response"], resp_state),
-            self.callback.result(p["callback"], cb_state),
-        )
-
-    def trace_fn(self):
-        return self._trace_batch, (
-            self.params(),
-            self.rng.counter_words,
-            jnp.arange(self.batchSize, dtype=jnp.uint32),
-        )

@@ -42,6 +42,8 @@ from ..polarization import (
 from ..random import PhiloxRNG, RNGState
 from ..scene import Scene
 from .core import (
+    TracerBase,
+    active_lanes,
     EventResultCode,
     HitItem,
     PropagateParams,
@@ -64,7 +66,7 @@ if TYPE_CHECKING:
 __all__ = ["BidirectionalPathTracer"]
 
 
-class BidirectionalPathTracer(Component):
+class BidirectionalPathTracer(TracerBase):
     """Bidirectional volume path tracing against a scene."""
 
     name = "Bidirectional Path Tracer"
@@ -94,8 +96,7 @@ class BidirectionalPathTracer(Component):
     ) -> None:
         if not source.supportForward:
             raise ValueError("light source does not support forward mode")
-        self.batchSize = batchSize
-        self.capacity = batchSize if capacity is None else capacity
+        self._init_batch(batchSize, capacity)
         self.source = source
         self.camera = camera
         self.wavelengthSource = wavelengthSource
@@ -125,9 +126,7 @@ class BidirectionalPathTracer(Component):
             + 4 * (lightPathLength + cameraPathLength)
             + self.maxHitsPerThread * response.nRNGSamples
         )
-        if rng.autoAdvance == 0:
-            rng.autoAdvance = self.nRNGSamples
-        self.normalization = 1.0 / batchSize
+        rng.configure(self.nRNGSamples, self.capacity)
         response.prepare(
             TraceConfig(
                 batch_size=batchSize,
@@ -152,6 +151,7 @@ class BidirectionalPathTracer(Component):
     def params(self):
         return {
             "tracer": {
+                "batchSize": jnp.asarray(self.batchSize, jnp.uint32),
                 "scatterCoefficient": jnp.asarray(
                     self.scatterCoefficient, jnp.float32
                 ),
@@ -186,12 +186,7 @@ class BidirectionalPathTracer(Component):
             max_time=p["tracer"]["maxTime"],
             max_dist=jnp.linalg.norm(pack.upper_bbox - pack.lower_bbox),
         )
-        rng = RNGState(
-            key=self.rng.key_words,
-            counter=counter,
-            stream=streams,
-            dim=jnp.zeros_like(streams),
-        )
+        rng = self.rng.state_for(counter, streams)
         resp_state = self.response.init()
         cb_state = self.callback.init(
             N, self.lightPathLength + self.cameraPathLength + 4
@@ -226,7 +221,7 @@ class BidirectionalPathTracer(Component):
             constants=constants,
         )
         medium = scene_medium
-        alive = ~ray.is_bad()
+        alive = active_lanes(streams, p) & ~ray.is_bad()
         if self.polarized:
             stokes = (
                 src.stokes if src.stokes is not None else unpolarized_stokes(lam.shape)
@@ -345,7 +340,7 @@ class BidirectionalPathTracer(Component):
             constants=constants,
         )
         cmedium = cam_medium
-        calive = ~cray.is_bad()
+        calive = active_lanes(streams, p) & ~cray.is_bad()
         if self.polarized:
             if cam.mueller is None:
                 raise ValueError(
@@ -532,21 +527,3 @@ class BidirectionalPathTracer(Component):
         )
         return resp_state, cb_state
 
-    def run(self, params=None, *, advance: bool = True):
-        p = self.params() if params is None else params
-        streams = jnp.arange(self.batchSize, dtype=jnp.uint32)
-        counter = self.rng.counter_words
-        resp_state, cb_state = self._jit_trace(p, counter, streams)
-        if advance:
-            self.rng.advance()
-        return (
-            self.response.result(p["response"], resp_state),
-            self.callback.result(p["callback"], cb_state),
-        )
-
-    def trace_fn(self):
-        return self._trace_batch, (
-            self.params(),
-            self.rng.counter_words,
-            jnp.arange(self.batchSize, dtype=jnp.uint32),
-        )

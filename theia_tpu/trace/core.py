@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..component import Component
 from ..material import Medium, MediumConstants, medium_constants, normalize_lambda
 from ..lookup import lookup
 from ..ops.math3d import dot, normalize, vec3
@@ -27,6 +28,8 @@ from ..ops.sampling import INV_4PI, TWO_PI, scatter_dir
 
 __all__ = [
     "EventResultCode",
+    "TracerBase",
+    "active_lanes",
     "PropagateParams",
     "RayState",
     "sample_scatter_length",
@@ -63,6 +66,93 @@ class EventResultCode(IntEnum):
     ERROR_MEDIA_MISMATCH = -11
     ERROR_TRACE_ABORT = -12
     ERROR_RAY_BAD = -13
+
+
+def active_lanes(streams: jax.Array, p) -> jax.Array:
+    """Mask of lanes that belong to the current (runtime) batch.
+
+    The analogue of the reference's indirect dispatch (src/theia/trace.py:
+    354-408): the traced program always runs ``capacity`` lanes; lanes with
+    ``stream >= batchSize`` are masked dead from creation, so ``batchSize``
+    can change per batch without retracing."""
+    tracer = p.get("tracer", {}) if isinstance(p, dict) else {}
+    bs = tracer.get("batchSize") if isinstance(tracer, dict) else None
+    if bs is None:
+        return jnp.ones(streams.shape, dtype=bool)
+    return streams < bs
+
+
+class TracerBase(Component):
+    """Host-side batch API shared by every tracer.
+
+    Lanes are allocated once at ``capacity`` and the trace function is
+    jitted once; ``batchSize`` is a *runtime* parameter: lanes beyond it
+    are masked dead (see :func:`active_lanes`) and the ``1/batchSize``
+    normalization follows the runtime value, so
+    ``setParams(batchSize=...)`` — or the pipeline's
+    ``tracer__batchSize`` — switches batch sizes between tasks with no
+    recompilation (reference semantics: indirect dispatch,
+    src/theia/trace.py:354-408, 478-481)."""
+
+    def _init_batch(self, batchSize: int, capacity: int | None) -> None:
+        capacity = batchSize if capacity is None else capacity
+        if not 0 < batchSize <= capacity:
+            raise ValueError(
+                f"batchSize must be in (0, capacity={capacity}], got {batchSize}"
+            )
+        self.batchSize = batchSize
+        self.capacity = capacity
+        self.normalization = 1.0 / batchSize
+
+    def setParams(self, **kwargs) -> None:
+        if "batchSize" in kwargs:
+            bs = int(kwargs.pop("batchSize"))
+            if not 0 < bs <= self.capacity:
+                raise ValueError(
+                    f"batchSize must be in (0, capacity={self.capacity}], got {bs}"
+                )
+            self.batchSize = bs
+            self.normalization = 1.0 / bs
+            response = getattr(self, "response", None)
+            if response is not None:
+                response.renormalize(self.normalization)
+        super().setParams(**kwargs)
+
+    def getParam(self, name: str):
+        if name == "batchSize":
+            return self.batchSize
+        return super().getParam(name)
+
+    def streams(self) -> jax.Array:
+        """Lane ids for one batch — always ``capacity`` wide."""
+        return jnp.arange(self.capacity, dtype=jnp.uint32)
+
+    # -- host API shared by all tracers ---------------------------------
+
+    def run(self, params=None, *, advance: bool = True):
+        """Trace one batch; returns (response result, callback result).
+
+        Advances the RNG offset by nRNGSamples afterwards (the reference's
+        autoAdvance, src/theia/random.py:278-282)."""
+        p = self.params() if params is None else params
+        counter = self.rng.counter_words
+        resp_state, cb_state = self._jit_trace(p, counter, self.streams())
+        if advance:
+            self.rng.advance()
+        return (
+            self.response.result(p["response"], resp_state),
+            self.callback.result(p["callback"], cb_state),
+        )
+
+    def trace_fn(self):
+        """Return (fn, example_args) with fn(params, counter, streams) ->
+        (response_state, callback_state) — the raw jittable step for
+        composition with jax.grad / shard_map."""
+        return self._trace_batch, (
+            self.params(),
+            self.rng.counter_words,
+            self.streams(),
+        )
 
 
 @jax.tree_util.register_dataclass

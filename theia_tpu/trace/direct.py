@@ -21,7 +21,7 @@ from ..material import Medium
 from ..random import PhiloxRNG, RNGState
 from ..scene import Scene
 from .backward import sample_direct
-from .core import PropagateParams
+from .core import PropagateParams, TracerBase
 
 if TYPE_CHECKING:
     from ..response import HitResponse
@@ -29,7 +29,7 @@ if TYPE_CHECKING:
 __all__ = ["DirectLightTracer"]
 
 
-class DirectLightTracer(Component):
+class DirectLightTracer(TracerBase):
     """Zero-scatter connection estimator."""
 
     name = "Direct Light Tracer"
@@ -58,8 +58,7 @@ class DirectLightTracer(Component):
         if scene is None and medium is None:
             # vacuum is a valid medium; mirror the reference check loosely
             pass
-        self.batchSize = batchSize
-        self.capacity = batchSize if capacity is None else capacity
+        self._init_batch(batchSize, capacity)
         self.source = source
         self.camera = camera
         self.wavelengthSource = wavelengthSource
@@ -77,9 +76,7 @@ class DirectLightTracer(Component):
             + wavelengthSource.nRNGSamples
             + response.nRNGSamples
         )
-        if rng.autoAdvance == 0:
-            rng.autoAdvance = self.nRNGSamples
-        self.normalization = 1.0 / batchSize
+        rng.configure(self.nRNGSamples, self.capacity)
         response.prepare(
             TraceConfig(
                 batch_size=batchSize,
@@ -103,7 +100,10 @@ class DirectLightTracer(Component):
 
     def params(self):
         p = {
-            "tracer": {"maxTime": jnp.asarray(self.maxTime, jnp.float32)},
+            "tracer": {
+                "batchSize": jnp.asarray(self.batchSize, jnp.uint32),
+                "maxTime": jnp.asarray(self.maxTime, jnp.float32),
+            },
             "photons": self.wavelengthSource.params(),
             "lightSource": self.source.params(),
             "camera": self.camera.params(),
@@ -137,12 +137,7 @@ class DirectLightTracer(Component):
             max_time=p["tracer"]["maxTime"],
             max_dist=jnp.linalg.norm(hi - lo),
         )
-        rng = RNGState(
-            key=self.rng.key_words,
-            counter=counter,
-            stream=streams,
-            dim=jnp.zeros_like(streams),
-        )
+        rng = self.rng.state_for(counter, streams)
         resp_state = self.response.init()
         cb_state = self.callback.init(streams.shape[0], 2)
         resp_state, cb_state, rng = sample_direct(
@@ -150,21 +145,3 @@ class DirectLightTracer(Component):
         )
         return resp_state, cb_state
 
-    def run(self, params=None, *, advance: bool = True):
-        p = self.params() if params is None else params
-        streams = jnp.arange(self.batchSize, dtype=jnp.uint32)
-        counter = self.rng.counter_words
-        resp_state, cb_state = self._jit_trace(p, counter, streams)
-        if advance:
-            self.rng.advance()
-        return (
-            self.response.result(p["response"], resp_state),
-            self.callback.result(p["callback"], cb_state),
-        )
-
-    def trace_fn(self):
-        return self._trace_batch, (
-            self.params(),
-            self.rng.counter_words,
-            jnp.arange(self.batchSize, dtype=jnp.uint32),
-        )

@@ -36,6 +36,8 @@ from ..ops.sampling import scatter_dir
 from ..random import PhiloxRNG, RNGState
 from ..target import Target
 from .core import (
+    TracerBase,
+    active_lanes,
     EventResultCode,
     PropagateParams,
     RayState,
@@ -72,7 +74,7 @@ def _sample_absorption(ray: RayState, alive, rng: RNGState):
     return new, alive & survive, rng
 
 
-class VolumePhotonTracer(Component):
+class VolumePhotonTracer(TracerBase):
     """Photon-resolved volume tracing against an analytic target
     (reference: src/theia/trace.py:2671-2959)."""
 
@@ -98,8 +100,7 @@ class VolumePhotonTracer(Component):
         nRuns: int = 10,
         polarized: bool = False,
     ) -> None:
-        self.batchSize = batchSize
-        self.capacity = batchSize if capacity is None else capacity
+        self._init_batch(batchSize, capacity)
         self.source = source
         self.target = target
         self.wavelengthSource = wavelengthSource
@@ -123,9 +124,7 @@ class VolumePhotonTracer(Component):
             + 4 * nRuns * nScatteringPerRun
             + response.nRNGSamples
         )
-        if rng.autoAdvance == 0:
-            rng.autoAdvance = self.nRNGSamples
-        self.normalization = 1.0 / batchSize
+        rng.configure(self.nRNGSamples, self.capacity)
         response.prepare(
             TraceConfig(
                 batch_size=batchSize,
@@ -150,6 +149,7 @@ class VolumePhotonTracer(Component):
     def params(self):
         return {
             "tracer": {
+                "batchSize": jnp.asarray(self.batchSize, jnp.uint32),
                 "maxTime": jnp.asarray(self.maxTime, jnp.float32),
                 "lowerBBox": jnp.asarray(self.traceBBox[0], jnp.float32),
                 "upperBBox": jnp.asarray(self.traceBBox[1], jnp.float32),
@@ -174,12 +174,7 @@ class VolumePhotonTracer(Component):
             max_time=p["tracer"]["maxTime"],
             max_dist=jnp.linalg.norm(hi - lo),
         )
-        rng = RNGState(
-            key=self.rng.key_words,
-            counter=counter,
-            stream=streams,
-            dim=jnp.zeros_like(streams),
-        )
+        rng = self.rng.state_for(counter, streams)
 
         (lam, _), rng = self.wavelengthSource.sample(p["photons"], rng)
         constants = medium_constants(medium, lam)
@@ -197,7 +192,7 @@ class VolumePhotonTracer(Component):
         resp_state = self.response.init()
         n_steps = self.nRuns * self.nScatteringPerRun
         cb_state = self.callback.init(streams.shape[0], n_steps + 2)
-        all_lanes = jnp.ones_like(streams, dtype=bool)
+        all_lanes = active_lanes(streams, p)
         cb_state = self.callback.on_event(
             p["callback"],
             cb_state,
@@ -214,10 +209,10 @@ class VolumePhotonTracer(Component):
             jnp.full_like(
                 streams, int(EventResultCode.ERROR_TRACE_ABORT), jnp.int32
             ),
-            occluded,
+            occluded & all_lanes,
             0,
         )
-        alive = ~occluded & ~ray.is_bad()
+        alive = all_lanes & ~occluded & ~ray.is_bad()
 
         def body(i, carry):
             ray, alive, rng, resp_state, cb_state = carry
@@ -330,24 +325,6 @@ class VolumePhotonTracer(Component):
             return resp_state, cb_state, rng.dim
         return resp_state, cb_state
 
-    def run(self, params=None, *, advance: bool = True):
-        p = self.params() if params is None else params
-        streams = jnp.arange(self.batchSize, dtype=jnp.uint32)
-        counter = self.rng.counter_words
-        resp_state, cb_state = self._jit_trace(p, counter, streams)
-        if advance:
-            self.rng.advance()
-        return (
-            self.response.result(p["response"], resp_state),
-            self.callback.result(p["callback"], cb_state),
-        )
-
-    def trace_fn(self):
-        return self._trace_batch, (
-            self.params(),
-            self.rng.counter_words,
-            jnp.arange(self.batchSize, dtype=jnp.uint32),
-        )
 
 
 class ScenePhotonTracer(SceneForwardTracer):

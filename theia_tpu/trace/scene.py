@@ -43,6 +43,8 @@ from ..random import PhiloxRNG, RNGState
 from ..scene import Scene, ScenePack
 from ..target import TargetGuide
 from .core import (
+    TracerBase,
+    active_lanes,
     EventResultCode,
     HitItem,
     PropagateParams,
@@ -116,7 +118,7 @@ def _refract(i, n, eta):
     return jnp.where(tir[..., None], 0.0, out)
 
 
-class SceneForwardTracer(Component):
+class SceneForwardTracer(TracerBase):
     """Forward path tracing against a scene (reference:
     src/theia/trace.py:1048-1336)."""
 
@@ -153,8 +155,7 @@ class SceneForwardTracer(Component):
     ) -> None:
         if not source.supportForward:
             raise ValueError("light source does not support forward mode")
-        self.batchSize = batchSize
-        self.capacity = batchSize if capacity is None else capacity
+        self._init_batch(batchSize, capacity)
         self.source = source
         self.wavelengthSource = wavelengthSource
         self.response = response
@@ -196,10 +197,8 @@ class SceneForwardTracer(Component):
             + rngStride * maxPathLength
             + maxHits * response.nRNGSamples
         )
-        if rng.autoAdvance == 0:
-            rng.autoAdvance = self.nRNGSamples
+        rng.configure(self.nRNGSamples, self.capacity)
 
-        self.normalization = 1.0 / batchSize
         response.prepare(
             TraceConfig(
                 batch_size=batchSize,
@@ -230,6 +229,7 @@ class SceneForwardTracer(Component):
     def params(self):
         p = {
             "tracer": {
+                "batchSize": jnp.asarray(self.batchSize, jnp.uint32),
                 "targetId": jnp.asarray(self.targetId, jnp.int32),
                 "scatterCoefficient": jnp.asarray(
                     self.scatterCoefficient, jnp.float32
@@ -424,12 +424,7 @@ class SceneForwardTracer(Component):
         pack: ScenePack = p["scene"]
         prop = self._propagation(p)
         mis = self.targetGuide is not None
-        rng = RNGState(
-            key=self.rng.key_words,
-            counter=counter,
-            stream=streams,
-            dim=jnp.zeros_like(streams),
-        )
+        rng = self.rng.state_for(counter, streams)
 
         ray, medium, pol, rng = self._sample_initial(p, pack, streams, rng)
 
@@ -440,10 +435,10 @@ class SceneForwardTracer(Component):
             cb_state,
             ray,
             jnp.full_like(streams, int(EventResultCode.RAY_CREATED), jnp.int32),
-            jnp.ones_like(streams, dtype=bool),
+            active_lanes(streams, p),
             0,
          pol=pol,)
-        alive = ~ray.is_bad()
+        alive = active_lanes(streams, p) & ~ray.is_bad()
         allow_response = jnp.full(
             streams.shape, not self.disableDirectLighting, dtype=bool
         )
@@ -831,21 +826,3 @@ class SceneForwardTracer(Component):
 
     # -- host API --------------------------------------------------------
 
-    def run(self, params=None, *, advance: bool = True):
-        p = self.params() if params is None else params
-        streams = jnp.arange(self.batchSize, dtype=jnp.uint32)
-        counter = self.rng.counter_words
-        resp_state, cb_state = self._jit_trace(p, counter, streams)
-        if advance:
-            self.rng.advance()
-        return (
-            self.response.result(p["response"], resp_state),
-            self.callback.result(p["callback"], cb_state),
-        )
-
-    def trace_fn(self):
-        return self._trace_batch, (
-            self.params(),
-            self.rng.counter_words,
-            jnp.arange(self.batchSize, dtype=jnp.uint32),
-        )

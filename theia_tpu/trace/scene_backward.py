@@ -44,6 +44,8 @@ from ..scene import Scene
 from ..target import TargetGuide
 from .backward import combine_rays_aligned, sample_direct
 from .core import (
+    TracerBase,
+    active_lanes,
     EventResultCode,
     HitItem,
     PropagateParams,
@@ -161,7 +163,7 @@ class _CameraAsSource:
         return {}
 
 
-class SceneBackwardTracer(Component):
+class SceneBackwardTracer(TracerBase):
     """Camera-origin scene tracing with per-vertex light connections."""
 
     name = "Scene Backward Tracer"
@@ -192,8 +194,7 @@ class SceneBackwardTracer(Component):
             raise ValueError("Light source does not support backward mode!")
         if not disableDirectLighting and not camera.supportDirect:
             raise ValueError("Camera does not support direct mode!")
-        self.batchSize = batchSize
-        self.capacity = batchSize if capacity is None else capacity
+        self._init_batch(batchSize, capacity)
         self.source = source
         self.camera = camera
         self.wavelengthSource = wavelengthSource
@@ -224,9 +225,7 @@ class SceneBackwardTracer(Component):
         self.nRNGSamples = (
             rngPre + rngStride * maxPathLength + maxHits * response.nRNGSamples
         )
-        if rng.autoAdvance == 0:
-            rng.autoAdvance = self.nRNGSamples
-        self.normalization = 1.0 / batchSize
+        rng.configure(self.nRNGSamples, self.capacity)
         response.prepare(
             TraceConfig(
                 batch_size=batchSize,
@@ -251,6 +250,7 @@ class SceneBackwardTracer(Component):
     def params(self):
         return {
             "tracer": {
+                "batchSize": jnp.asarray(self.batchSize, jnp.uint32),
                 "scatterCoefficient": jnp.asarray(
                     self.scatterCoefficient, jnp.float32
                 ),
@@ -279,12 +279,7 @@ class SceneBackwardTracer(Component):
             max_time=p["tracer"]["maxTime"],
             max_dist=jnp.linalg.norm(pack.upper_bbox - pack.lower_bbox),
         )
-        rng = RNGState(
-            key=self.rng.key_words,
-            counter=counter,
-            stream=streams,
-            dim=jnp.zeros_like(streams),
-        )
+        rng = self.rng.state_for(counter, streams)
         resp_state = self.response.init()
         cb_state = self.callback.init(streams.shape[0], self.maxPathLength + 4)
         cam_medium_name = self.camMedium
@@ -328,7 +323,7 @@ class SceneBackwardTracer(Component):
             log_contrib=jnp.zeros_like(lam),
             constants=constants,
         )
-        alive = ~ray.is_bad()
+        alive = active_lanes(streams, p) & ~ray.is_bad()
         cb_state = self.callback.on_event(
             p["callback"],
             cb_state,
@@ -480,24 +475,6 @@ class SceneBackwardTracer(Component):
         )
         return resp_state, cb_state
 
-    def run(self, params=None, *, advance: bool = True):
-        p = self.params() if params is None else params
-        streams = jnp.arange(self.batchSize, dtype=jnp.uint32)
-        counter = self.rng.counter_words
-        resp_state, cb_state = self._jit_trace(p, counter, streams)
-        if advance:
-            self.rng.advance()
-        return (
-            self.response.result(p["response"], resp_state),
-            self.callback.result(p["callback"], cb_state),
-        )
-
-    def trace_fn(self):
-        return self._trace_batch, (
-            self.params(),
-            self.rng.counter_words,
-            jnp.arange(self.batchSize, dtype=jnp.uint32),
-        )
 
 
 def _sample_phase(pack, medium, direction, u1, u2):

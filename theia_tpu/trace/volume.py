@@ -51,6 +51,8 @@ from ..target import Target, TargetSample
 if TYPE_CHECKING:  # avoid circular import (response imports trace.core)
     from ..response import HitResponse
 from .core import (
+    TracerBase,
+    active_lanes,
     EventResultCode,
     HitItem,
     PropagateParams,
@@ -112,7 +114,7 @@ def _pol_align(direction, pol, hit_normal):
     return apply_rotation(stokes, c, s), new_ref
 
 
-class VolumeForwardTracer(Component):
+class VolumeForwardTracer(TracerBase):
     """Forward path tracing in a single homogeneous medium against an
     analytic target (reference: src/theia/trace.py:499-770).
 
@@ -147,8 +149,7 @@ class VolumeForwardTracer(Component):
     ) -> None:
         if not source.supportForward:
             raise ValueError("light source does not support forward mode")
-        self.batchSize = batchSize
-        self.capacity = batchSize if capacity is None else capacity
+        self._init_batch(batchSize, capacity)
         self.source = source
         self.target = target
         self.wavelengthSource = wavelengthSource
@@ -190,10 +191,8 @@ class VolumeForwardTracer(Component):
             + rngStride * self.pathLength
             + self.maxHitsPerThread * response.nRNGSamples
         )
-        if rng.autoAdvance == 0:
-            rng.autoAdvance = self.nRNGSamples
+        rng.configure(self.nRNGSamples, self.capacity)
 
-        self.normalization = 1.0 / batchSize
         response.prepare(self._config())
 
         self._jit_trace = jax.jit(self._trace_batch)
@@ -222,6 +221,7 @@ class VolumeForwardTracer(Component):
     def params(self):
         return {
             "tracer": {
+                "batchSize": jnp.asarray(self.batchSize, jnp.uint32),
                 "scatterCoefficient": jnp.asarray(
                     self.scatterCoefficient, jnp.float32
                 ),
@@ -449,12 +449,7 @@ class VolumeForwardTracer(Component):
         (tracer.volume.forward.glsl:231-276)."""
         medium = p["medium"]
         prop = self._propagation(p)
-        rng = RNGState(
-            key=self.rng.key_words,
-            counter=counter,
-            stream=streams,
-            dim=jnp.zeros_like(streams),
-        )
+        rng = self.rng.state_for(counter, streams)
 
         # sampleRay (tracer.volume.forward.glsl:222-228)
         (lam, lam_contrib), rng = self.wavelengthSource.sample(p["photons"], rng)
@@ -490,7 +485,7 @@ class VolumeForwardTracer(Component):
 
         resp_state = self.response.init()
         cb_state = self.callback.init(streams.shape[0], self.pathLength + 3)
-        all_lanes = jnp.ones_like(streams, dtype=bool)
+        all_lanes = active_lanes(streams, p)
         cb_state = self.callback.on_event(
             p["callback"],
             cb_state,
@@ -505,10 +500,10 @@ class VolumeForwardTracer(Component):
             cb_state,
             ray,
             jnp.full_like(streams, int(EventResultCode.ERROR_TRACE_ABORT), jnp.int32),
-            occluded,
+            occluded & all_lanes,
             0,
          pol=pol,)
-        alive = ~occluded & ~ray.is_bad()
+        alive = all_lanes & ~occluded & ~ray.is_bad()
 
         mis = not self.disableTargetSampling
         direct = not self.disableDirectLighting
@@ -625,30 +620,3 @@ class VolumeForwardTracer(Component):
             return resp_state, cb_state, rng.dim
         return resp_state, cb_state
 
-    # -- host API --------------------------------------------------------
-
-    def run(self, params=None, *, advance: bool = True):
-        """Trace one batch; returns (response result, callback result).
-
-        Advances the RNG offset by nRNGSamples afterwards (the reference's
-        autoAdvance, src/theia/random.py:278-282)."""
-        p = self.params() if params is None else params
-        streams = jnp.arange(self.batchSize, dtype=jnp.uint32)
-        counter = self.rng.counter_words
-        resp_state, cb_state = self._jit_trace(p, counter, streams)
-        if advance:
-            self.rng.advance()
-        return (
-            self.response.result(p["response"], resp_state),
-            self.callback.result(p["callback"], cb_state),
-        )
-
-    def trace_fn(self):
-        """Return (fn, example_args) with fn(params, counter, streams) ->
-        (response_state, callback_state) — the raw jittable step for
-        composition with jax.grad / shard_map."""
-        return self._trace_batch, (
-            self.params(),
-            self.rng.counter_words,
-            jnp.arange(self.batchSize, dtype=jnp.uint32),
-        )
