@@ -237,3 +237,44 @@ def test_polarized_track_record():
     seg = tk[lane, 1 : lens[lane] + 1]
     assert np.allclose(seg[:, 4], 1.0)  # S0 normalized... stokes[0]
     assert np.allclose(np.linalg.norm(seg[:, 8:11], axis=-1), 1.0, atol=1e-5)
+
+
+def test_hit_recorder_overflow_counter():
+    """Hits beyond capacity are dropped AND counted; result() warns
+    (reference surfaces queue saturation via maxHits accounting)."""
+    import warnings as _warnings
+
+    import jax.numpy as jnp
+
+    from theia_tpu.component import TraceConfig
+    from theia_tpu.random import PhiloxRNG
+    from theia_tpu.response import HitRecorder
+    from theia_tpu.trace.core import HitItem
+
+    n = 64
+    rec = HitRecorder()
+    rec.prepare(TraceConfig(n, n, 1, 1.0 / n, False))  # capacity 64
+    state = rec.init()
+    ones3 = jnp.ones((n, 3), jnp.float32)
+    item = HitItem(
+        position=ones3,
+        direction=ones3,
+        normal=ones3,
+        wavelength=jnp.full(n, 450.0),
+        time=jnp.arange(n, dtype=jnp.float32),
+        contrib=jnp.ones(n, jnp.float32),
+        object_id=jnp.zeros(n, jnp.int32),
+    )
+    rng = PhiloxRNG(key=1).state_for(
+        jnp.zeros(4, jnp.uint32), jnp.arange(n, dtype=jnp.uint32)
+    )
+    mask = jnp.ones(n, bool)
+    state, rng = rec.record({}, state, item, mask, rng)  # fills exactly
+    assert int(state["cursor"]) == n and int(state["overflow"]) == 0
+    state, rng = rec.record({}, state, item, mask, rng)  # all dropped
+    assert int(state["cursor"]) == n
+    assert int(state["overflow"]) == n
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        rec.result({}, state)
+    assert any("overflow" in str(x.message) for x in w)

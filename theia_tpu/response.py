@@ -10,6 +10,7 @@ atomics (reference: src/theia/response.py, shader/response.histogram.glsl).
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 
 import jax
@@ -258,6 +259,7 @@ class HitRecorder(HitResponse):
         n = self._capacity
         state = dict(
             cursor=jnp.int32(0),  # traced: record() runs inside lax loops
+            overflow=jnp.int32(0),  # hits dropped past capacity
             position=jnp.zeros((n, 3), jnp.float32),
             direction=jnp.zeros((n, 3), jnp.float32),
             normal=jnp.zeros((n, 3), jnp.float32),
@@ -282,10 +284,13 @@ class HitRecorder(HitResponse):
         def upd(buf, val):
             return buf.at[slot].set(val, mode="drop")
 
+        total = c + jnp.sum(mask.astype(jnp.int32))
         new_state = dict(
-            cursor=jnp.minimum(
-                c + jnp.sum(mask.astype(jnp.int32)), self._capacity
-            ),
+            cursor=jnp.minimum(total, self._capacity),
+            # queue-saturation accounting (the reference surfaces this via
+            # maxHits bookkeeping, src/theia/response.py:225-241)
+            overflow=state["overflow"]
+            + jnp.maximum(total - self._capacity, 0),
             position=upd(state["position"], item.position),
             direction=upd(state["direction"], item.direction),
             normal=upd(state["normal"], item.normal),
@@ -299,6 +304,15 @@ class HitRecorder(HitResponse):
             new_state["stokes"] = upd(state["stokes"], item.stokes)
             new_state["polRef"] = upd(state["polRef"], item.pol_ref)
         return new_state, rng
+
+    def result(self, params, state):
+        dropped = int(state["overflow"])
+        if dropped > 0:
+            warnings.warn(
+                f"HitRecorder overflow: {dropped} hits dropped past the "
+                f"capacity of {self._capacity}; raise maxHitsPerThread"
+            )
+        return state
 
 
 class StoreTimeHitResponse(HitResponse):
@@ -327,6 +341,7 @@ class StoreTimeHitResponse(HitResponse):
         n = self._capacity
         return dict(
             cursor=jnp.int32(0),
+            overflow=jnp.int32(0),
             time=jnp.zeros(n, jnp.float32),
             objectId=jnp.zeros(n, jnp.int32),
             valid=jnp.zeros(n, bool),
@@ -343,15 +358,26 @@ class StoreTimeHitResponse(HitResponse):
         def upd(buf, val):
             return buf.at[slot].set(val, mode="drop")
 
+        total = c + jnp.sum(accept.astype(jnp.int32))
         state = dict(
-            cursor=jnp.minimum(
-                c + jnp.sum(accept.astype(jnp.int32)), self._capacity
-            ),
+            cursor=jnp.minimum(total, self._capacity),
+            overflow=state["overflow"]
+            + jnp.maximum(total - self._capacity, 0),
             time=upd(state["time"], item.time),
             objectId=upd(state["objectId"], item.object_id),
             valid=upd(state["valid"], accept),
         )
         return state, rng
+
+    def result(self, params, state):
+        dropped = int(state["overflow"])
+        if dropped > 0:
+            warnings.warn(
+                f"StoreTimeHitResponse overflow: {dropped} detections "
+                f"dropped past the capacity of {self._capacity}; raise "
+                f"maxHitsPerThread"
+            )
+        return state
 
 
 class SampleValueResponse(HitResponse):
