@@ -1,0 +1,242 @@
+"""Differentiability of the *scene* tracers w.r.t. medium parameters.
+
+Extends tests/test_grad_volume.py to the scene path (VERDICT round-1
+item 9): gradients must flow through the packed media tables consumed by
+``SceneForwardTracer`` — attenuation (mu_a/mu_s), and the Fresnel/IOR
+path (``_fresnel``, theia_tpu/trace/scene.py) including the selection
+score corrections and the backward eta^2 radiance factor
+(reference semantics: shader/scatter.surface.glsl:21-51,
+shader/ray.surface.glsl transmitRayIS backward).
+
+* mu_a/mu_s: with a fixed ``scatterCoefficient`` the path geometry is
+  independent of the medium attenuation, so fixed-seed central
+  differences must match the AD gradient to float precision.
+* IOR: the reflect/transmit choice is discrete (frozen under AD, score
+  corrected via log r - sg(log r)); AD and common-random-number FD are
+  different unbiased estimators of the same derivative and must agree
+  within Monte Carlo noise.
+"""
+
+from dataclasses import replace as dc_replace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import theia_tpu.units as u
+from theia_tpu.camera import PointCamera
+from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+from theia_tpu.material import (
+    DispersionFreeMedium,
+    HenyeyGreensteinPhaseFunction,
+    Material,
+    MaterialStore,
+    MediumModel,
+)
+from theia_tpu.random import PhiloxRNG
+from theia_tpu.response import HistogramHitResponse
+from theia_tpu.scene import MeshStore, Scene, Transform
+from theia_tpu.trace.scene import SceneForwardTracer
+from theia_tpu.trace.scene_backward import SceneBackwardTargetTracer
+
+ASSETS = "/root/reference/assets"
+N_BINS = 50
+BIN_SIZE = 25.0
+
+
+class Model(DispersionFreeMedium, HenyeyGreensteinPhaseFunction, MediumModel):
+    ModelName = "homogenous"
+
+    def __init__(self, a, s, g, *, n=1.33, ng=1.33):
+        DispersionFreeMedium.__init__(self, n=n, ng=ng, mu_a=a, mu_s=s)
+        HenyeyGreensteinPhaseFunction.__init__(self, g)
+
+
+def patch_media(p, handle, **rows):
+    """Return params with the given medium's packed table rows replaced by
+    (differentiable) scalars — the hook jax.grad differentiates through."""
+    pack = p["scene"]
+    tables = dict(pack.media.tables)
+    for kind, val in rows.items():
+        tables[kind] = tables[kind].at[handle].set(val)
+    p = dict(p)
+    p["scene"] = dc_replace(pack, media=dc_replace(pack.media, tables=tables))
+    return p
+
+
+# ---------------------------------------------------------------------------
+# mu_a / mu_s through the forward scene tracer: FD-exact
+# ---------------------------------------------------------------------------
+
+
+def build_forward_tracer(batch=8 * 1024):
+    model = Model(0.01, 0.008, 0.4)
+    medium = model.createMedium()
+    material = Material("det", medium, None, flags="DB")
+    store = MaterialStore.pack([material])
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+    trafo = Transform.TRS(scale=100.0, translate=(0.0, 0.0, 0.0))
+    inst = meshes.createInstance("sphere", "det", trafo, detectorId=0)
+    scene = Scene([inst], store, medium="homogenous")
+    return SceneForwardTracer(
+        batch,
+        SphericalLightSource(
+            position=(0.0, 0.0, 0.0), timeRange=(10.0, 10.0), budget=1e9
+        ),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        HistogramHitResponse(nBins=N_BINS, t0=0.0, binSize=BIN_SIZE),
+        PhiloxRNG(key=0xC0FFEE),
+        scene,
+        maxPathLength=6,
+        scatterCoefficient=0.02,
+        maxTime=float("inf"),
+    )
+
+
+def test_grad_scene_mu_matches_fd_exactly():
+    tracer = build_forward_tracer()
+    fn, (p0, counter, streams) = tracer.trace_fn()
+    handle = p0["scene"].media.handle("homogenous")
+    weights = jnp.asarray(
+        np.exp(-np.linspace(0.0, 2.0, N_BINS)), jnp.float32
+    )
+
+    def loss(theta):
+        mu_a, mu_s = theta
+        p = patch_media(
+            p0, handle, absorption_coef=mu_a, scattering_coef=mu_s
+        )
+        hist, _ = fn(p, counter, streams)
+        return jnp.sum(hist * weights)
+
+    loss_j = jax.jit(loss)
+    grad_j = jax.jit(jax.grad(loss))
+    theta0 = jnp.asarray([0.01, 0.008], jnp.float32)
+    g = np.asarray(grad_j(theta0), np.float64)
+
+    for i, eps in ((0, 1e-4), (1, 1e-4)):
+        e = np.zeros(2)
+        e[i] = eps
+        hi = float(loss_j(theta0 + jnp.asarray(e, jnp.float32)))
+        lo = float(loss_j(theta0 - jnp.asarray(e, jnp.float32)))
+        fd = (hi - lo) / (2 * eps)
+        assert fd != 0.0
+        assert np.abs(g[i] - fd) < 3e-2 * np.abs(fd), (i, g[i], fd)
+
+
+def test_grad_scene_mu_a_sign():
+    """More absorption -> less detected energy."""
+    tracer = build_forward_tracer(batch=4 * 1024)
+    fn, (p0, counter, streams) = tracer.trace_fn()
+    handle = p0["scene"].media.handle("homogenous")
+
+    def total(mu_a):
+        p = patch_media(p0, handle, absorption_coef=mu_a)
+        hist, _ = fn(p, counter, streams)
+        return jnp.sum(hist)
+
+    g = float(jax.jit(jax.grad(total))(jnp.float32(0.02)))
+    assert g < 0.0
+
+
+# ---------------------------------------------------------------------------
+# IOR through the Fresnel path: statistical FD agreement
+# ---------------------------------------------------------------------------
+
+
+def build_fresnel_tracer(batch=16 * 1024):
+    """Non-absorbing detector sphere in water: every detector hit applies
+    the Fresnel transmittance 1 - (r_s^2 + r_p^2)/2 evaluated from the
+    refractive-index table, and surviving rays reflect/transmit with the
+    IS decision + score correction."""
+    model = Model(0.0, 0.01, 0.3)
+    medium = model.createMedium()
+    material = Material("det", medium, None, flags="D")
+    store = MaterialStore.pack([material])
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+    inst = meshes.createInstance(
+        "sphere", "det", Transform.TRS(scale=60.0), detectorId=0
+    )
+    scene = Scene([inst], store, medium="homogenous")
+    return SceneForwardTracer(
+        batch,
+        SphericalLightSource(
+            position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e9
+        ),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        HistogramHitResponse(nBins=N_BINS, t0=0.0, binSize=BIN_SIZE),
+        PhiloxRNG(key=0xBEEF),
+        scene,
+        maxPathLength=5,
+        scatterCoefficient=0.02,
+        maxTime=float("inf"),
+    )
+
+
+def test_grad_scene_ior_statistical():
+    tracer = build_fresnel_tracer()
+    fn, (p0, counter, streams) = tracer.trace_fn()
+    handle = p0["scene"].media.handle("homogenous")
+
+    def total(n0):
+        p = patch_media(p0, handle, refractive_index=n0)
+        hist, _ = fn(p, counter, streams)
+        return jnp.sum(hist)
+
+    total_j = jax.jit(total)
+    grad_j = jax.jit(jax.grad(total))
+    n0 = jnp.float32(1.33)
+    g_ad = float(grad_j(n0))
+    eps = 0.02
+    fd = (float(total_j(n0 + eps)) - float(total_j(n0 - eps))) / (2 * eps)
+    # water->vacuum transmittance falls with n -> both estimates negative
+    assert g_ad < 0.0 and fd < 0.0, (g_ad, fd)
+    assert np.abs(g_ad / fd - 1.0) < 0.5, (g_ad, fd)
+
+
+def test_grad_backward_eta2_statistical():
+    """Backward (radiance) transport applies eta^2 on transmission: a point
+    camera inside a glass ball sees an emissive sphere through one
+    refracting interface; d(total)/d(n_glass) must carry the eta^2 term
+    and agree with common-random-number finite differences."""
+    glass = DispersionFreeMedium(n=1.5, ng=1.5, mu_a=0.0, mu_s=0.0).createMedium(
+        name="glass"
+    )
+    shell = Material("shell", glass, None)
+    emit = Material("emit", None, None, flags="LB")
+    store = MaterialStore.pack([shell, emit])
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+    ball = meshes.createInstance("sphere", "shell", Transform.TRS(scale=1.0))
+    wall = meshes.createInstance("sphere", "emit", Transform.TRS(scale=10.0))
+    scene = Scene([ball, wall], store, medium=None)
+    tracer = SceneBackwardTargetTracer(
+        16 * 1024,
+        PointCamera(position=(0.0, 0.0, 0.0)),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        HistogramHitResponse(nBins=N_BINS, t0=0.0, binSize=2.0),
+        PhiloxRNG(key=7),
+        scene,
+        medium="glass",
+        maxPathLength=4,
+        maxTime=float("inf"),
+    )
+    fn, (p0, counter, streams) = tracer.trace_fn()
+    handle = p0["scene"].media.handle("glass")
+
+    def total(n0):
+        p = patch_media(p0, handle, refractive_index=n0)
+        hist, _ = fn(p, counter, streams)
+        return jnp.sum(hist)
+
+    total_j = jax.jit(total)
+    grad_j = jax.jit(jax.grad(total))
+    n0 = jnp.float32(1.5)
+    g_ad = float(grad_j(n0))
+    eps = 0.02
+    fd = (float(total_j(n0 + eps)) - float(total_j(n0 - eps))) / (2 * eps)
+    # eta^2 = n^2 on glass->vacuum transmission grows with n and dominates
+    # the shrinking transmittance at near-normal incidence
+    assert g_ad > 0.0 and fd > 0.0, (g_ad, fd)
+    assert np.abs(g_ad / fd - 1.0) < 0.5, (g_ad, fd)

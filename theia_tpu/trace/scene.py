@@ -109,13 +109,17 @@ def _reflect(i, n):
 
 
 def _refract(i, n, eta):
-    """GLSL refract(); returns 0 on total internal reflection."""
+    """GLSL refract(); returns the (unit) inverted normal on total internal
+    reflection so callers may ``normalize`` without dividing by zero — TIR
+    lanes are always masked out by the selection logic.  The double-where
+    keeps sqrt off k<=0 where its infinite slope would poison IOR
+    gradients (jnp.where does not block NaN cotangents)."""
     cos_i = dot(n, i)
     k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
-    tir = k < 0.0
-    k = jnp.maximum(k, 0.0)
-    out = eta[..., None] * i - (eta * cos_i + jnp.sqrt(k))[..., None] * n
-    return jnp.where(tir[..., None], 0.0, out)
+    tir = k <= 0.0
+    k_safe = jnp.where(tir, 1.0, k)
+    out = eta[..., None] * i - (eta * cos_i + jnp.sqrt(k_safe))[..., None] * n
+    return jnp.where(tir[..., None], -n, out)
 
 
 class SceneForwardTracer(TracerBase):
@@ -275,7 +279,11 @@ class SceneForwardTracer(TracerBase):
             1.0,
         )
         sin_t = sin_i * n_i / n_t
-        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 0.0))
+        # double-where: sqrt at a clamped 0 has infinite slope and would
+        # turn the IOR gradient into NaN on TIR lanes
+        s2 = 1.0 - sin_t * sin_t
+        tir = s2 <= 0.0
+        cos_t = jnp.where(tir, 0.0, jnp.sqrt(jnp.where(tir, 1.0, s2)))
         cos_i = jnp.abs(cos_i)
         r_s = (n_i * cos_i - n_t * cos_t) / (n_i * cos_i + n_t * cos_t)
         r_p = (n_t * cos_i - n_i * cos_t) / (n_t * cos_i + n_i * cos_t)
@@ -337,7 +345,8 @@ class SceneForwardTracer(TracerBase):
             )
             pol = (stokes, pol_ref)
         if self.useRefractedHitDir:
-            eta = n_i / n_t
+            # direction is sampler state -> detached from the IOR gradient
+            eta = lax.stop_gradient(n_i / n_t)
             refr = normalize(_refract(ray.direction, hit.ray_nrm, eta))
             direction = jnp.where(absorb[..., None], ray.direction, refr)
             ray = replace(ray, direction=direction)
@@ -567,7 +576,12 @@ class SceneForwardTracer(TracerBase):
             # 2) transmit
             eta = n_i / n_t
             eta_sq = eta * eta
-            trans_dir = normalize(_refract(ray.direction, hit.ray_nrm, eta))
+            # frozen-sampler estimator: the refracted *direction* is part of
+            # the path sampler (detached, like phase cos_theta); the IOR
+            # gradient lives in the contribution factors below
+            trans_dir = normalize(
+                _refract(ray.direction, hit.ray_nrm, sg(eta))
+            )
             trans_pos = offset_ray(hit.world_pos, -hit.ray_nrm)
             trans_factor = jnp.where(both, 1.0, 1.0 - r_coef)
             if self._transmit_eta2:

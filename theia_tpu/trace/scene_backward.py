@@ -586,7 +586,10 @@ def make_surface_interactor(
             1.0,
         )
         sin_t = sin_i * n_i / n_t
-        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 0.0))
+        # double-where keeps the IOR gradient NaN-free on TIR lanes
+        s2 = 1.0 - sin_t * sin_t
+        tir = s2 <= 0.0
+        cos_t = jnp.where(tir, 0.0, jnp.sqrt(jnp.where(tir, 1.0, s2)))
         cos_ia = jnp.abs(cos_i)
         r_s = (n_i * cos_ia - n_t * cos_t) / (n_i * cos_ia + n_t * cos_t)
         r_p = (n_t * cos_ia - n_i * cos_t) / (n_t * cos_ia + n_i * cos_t)
@@ -601,7 +604,9 @@ def make_surface_interactor(
         eta = n_i / n_t
         refl_dir = _reflect(ray.direction, hit.ray_nrm)
         refl_pos = offset_ray(hit.world_pos, hit.ray_nrm)
-        trans_dir = _refract(ray.direction, hit.ray_nrm, eta)
+        # refracted direction is sampler state -> detached (IOR gradient
+        # flows through the contribution factors, not the geometry)
+        trans_dir = _refract(ray.direction, hit.ray_nrm, lax.stop_gradient(eta))
         trans_pos = offset_ray(hit.world_pos, -hit.ray_nrm)
         refl_factor = jnp.where(both, 1.0, r_coef)
         trans_factor = jnp.where(both, 1.0, 1.0 - r_coef)
