@@ -147,3 +147,77 @@ def test_scene_bvh_accel_end_to_end():
         total += np.asarray(hits["contrib"])[v].sum()
     estimate = total / (2 * 8 * 1024)
     assert np.abs(estimate / 1e9 - 1.0) < 0.08
+
+
+def test_accel_auto_selects_by_triangle_count():
+    """accel='auto' picks brute below AUTO_BVH_THRESHOLD, bvh above
+    (crossover measured in PERF.md round 2)."""
+    from theia_tpu.material import Material, MaterialStore
+    from theia_tpu.render import SceneTemplate
+    from theia_tpu.scene import AUTO_BVH_THRESHOLD, MeshStore, Scene, Transform
+
+    mat = Material("m", None, None, flags="B")
+    store = MaterialStore.pack([mat])
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+    proto = meshes.createInstance("sphere", "m", Transform.TRS(scale=0.4))
+    template = SceneTemplate([proto])
+
+    n_tri = len(proto.mesh.indices)
+    small_n = 2
+    big_n = AUTO_BVH_THRESHOLD // n_tri + 1
+    small = template.createScene(
+        [Transform.TRS(translate=(2.0 * i, 0, 0)) for i in range(small_n)],
+        store,
+    )
+    big = template.createScene(
+        [Transform.TRS(translate=(2.0 * i, 0, 0)) for i in range(big_n)],
+        store,
+    )
+    assert small.accel == "brute" and small.pack.bvh is None
+    assert big.accel == "bvh" and big.pack.bvh is not None
+    # leaf_size is honored
+    assert big.pack.bvh.leaf_size == 8
+    custom = template.createScene(
+        [Transform.TRS(translate=(2.0 * i, 0, 0)) for i in range(big_n)],
+        store,
+        accel="bvh",
+        leaf_size=16,
+    )
+    assert custom.pack.bvh.leaf_size == 16
+
+
+def test_stamped_array_bvh_matches_brute():
+    """Detector-array scene (template stamping): BVH and brute agree on
+    nearest hits — the large-scene parity leg of the crossover story."""
+    from theia_tpu.accel import _nearest_triangle
+    from theia_tpu.material import Material, MaterialStore
+    from theia_tpu.render import SceneTemplate
+    from theia_tpu.scene import MeshStore, Transform
+
+    mat = Material("m", None, None, flags="B")
+    store = MaterialStore.pack([mat])
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+    proto = meshes.createInstance("sphere", "m", Transform.TRS(scale=0.4))
+    template = SceneTemplate([proto])
+    transforms = [
+        Transform.TRS(translate=(2.0 * i, 2.0 * j, 0.0))
+        for i in range(3)
+        for j in range(3)
+    ]
+    brute = template.createScene(transforms, store, accel="brute")
+    bvh = template.createScene(transforms, store, accel="bvh")
+
+    n = 4096
+    ks = jax.random.split(jax.random.PRNGKey(3), 2)
+    o = jax.random.uniform(ks[0], (n, 3), jnp.float32, -1.0, 5.0)
+    d = jax.random.normal(ks[1], (n, 3), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    t_b, i_b = _nearest_triangle(brute.pack, o, d, jnp.inf, 256)
+    t_v, i_v, _, _ = nearest_triangle_bvh(bvh.pack.bvh, o, d, jnp.inf)
+    t_b, i_b, t_v, i_v = map(np.asarray, (t_b, i_b, t_v, i_v))
+    hit_b = i_b >= 0
+    assert hit_b.sum() > 100  # the array actually gets hit
+    assert (hit_b == (i_v >= 0)).mean() > 0.999
+    both = hit_b & (i_v >= 0)
+    assert np.allclose(t_b[both], t_v[both], rtol=1e-4, atol=1e-5)

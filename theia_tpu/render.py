@@ -108,6 +108,8 @@ class SceneTemplate:
         medium: str | None = None,
         bbox: RectBBox | None = None,
         assignDetectorIds: bool = True,
+        accel: str = "auto",
+        leaf_size: int = 8,
     ) -> Scene:
         """Stamp the template once per transform
         (reference: src/theia/scene.py:713-935 SceneTemplate)."""
@@ -124,4 +126,11 @@ class SceneTemplate:
                 )
                 out.append(inst)
             det += 1
-        return Scene(out, materials, medium=medium, bbox=bbox)
+        return Scene(
+            out,
+            materials,
+            medium=medium,
+            bbox=bbox,
+            accel=accel,
+            leaf_size=leaf_size,
+        )

@@ -33,7 +33,13 @@ __all__ = [
     "MeshStore",
     "Scene",
     "ScenePack",
+    "AUTO_BVH_THRESHOLD",
 ]
+
+#: triangle count above which ``accel="auto"`` switches from the chunked
+#: brute-force scan to the threaded BVH (crossover measured on the bench
+#: chip, PERF.md round-2 experiment log)
+AUTO_BVH_THRESHOLD = 16384
 
 
 class Transform:
@@ -279,16 +285,27 @@ class Scene:
         *,
         medium: str | None = None,
         bbox: RectBBox | None = None,
-        accel: str = "brute",
+        accel: str = "auto",
+        leaf_size: int = 8,
     ) -> None:
         if not isinstance(materials, MaterialStore):
             materials = MaterialStore.pack(list(materials.values()))
-        if accel not in ("brute", "bvh", "woop", "mt"):
-            raise ValueError("accel must be 'brute', 'bvh', 'woop' or 'mt'")
+        if accel not in ("auto", "brute", "bvh", "woop", "mt"):
+            raise ValueError(
+                "accel must be 'auto', 'brute', 'bvh', 'woop' or 'mt'"
+            )
+        if accel == "auto":
+            # crossover measured on the bench chip (PERF.md round-2
+            # experiment log): the chunked brute scan beats the threaded
+            # BVH below ~AUTO_BVH_THRESHOLD triangles, above it the
+            # BVH's O(log T) work reduction wins despite gather costs
+            n_tri = sum(len(i.mesh.indices) for i in instances)
+            accel = "brute" if n_tri < AUTO_BVH_THRESHOLD else "bvh"
         self.instances = instances
         self.materials = materials
         self.medium = medium
         self.accel = accel
+        self.leaf_size = leaf_size
         self.bbox = bbox if bbox is not None else RectBBox(
             (-1.0 * u.km,) * 3, (1.0 * u.km,) * 3
         )
@@ -369,7 +386,7 @@ class Scene:
             cv0 = catn(w_v0)
             ce1 = catn(w_e1)
             ce2 = catn(w_e2)
-            leaf = 4
+            leaf = self.leaf_size
             bvh = build_bvh(cv0, ce1, ce2, leaf_size=leaf)
             bvh_pack = pack_bvh(bvh, cv0, ce1, ce2, leaf)
 
