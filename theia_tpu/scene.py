@@ -37,9 +37,13 @@ __all__ = [
 ]
 
 #: triangle count above which ``accel="auto"`` switches from the chunked
-#: brute-force scan to the threaded BVH (crossover measured on the bench
-#: chip, PERF.md round-2 experiment log)
-AUTO_BVH_THRESHOLD = 16384
+#: brute-force scan to the threaded BVH. Measured on the bench chip
+#: (PERF.md round-2 experiment log): the brute scan still wins at 82k
+#: triangles (242 ms vs 2097 ms per 65k-ray wavefront); extrapolating the
+#: linear brute slope (~2.4 ms per 1k tris) against the BVH's near-flat
+#: gather-bound cost puts the crossover near ~0.9M triangles, so the
+#: default switches conservatively at half that.
+AUTO_BVH_THRESHOLD = 448 * 1024
 
 
 class Transform:
@@ -295,10 +299,10 @@ class Scene:
                 "accel must be 'auto', 'brute', 'bvh', 'woop' or 'mt'"
             )
         if accel == "auto":
-            # crossover measured on the bench chip (PERF.md round-2
-            # experiment log): the chunked brute scan beats the threaded
-            # BVH below ~AUTO_BVH_THRESHOLD triangles, above it the
-            # BVH's O(log T) work reduction wins despite gather costs
+            # crossover measured/extrapolated on the bench chip (PERF.md
+            # round-2 experiment log): the chunked brute scan beats the
+            # threaded BVH below ~AUTO_BVH_THRESHOLD triangles, above it
+            # the BVH's O(log T) work reduction wins despite gather costs
             n_tri = sum(len(i.mesh.indices) for i in instances)
             accel = "brute" if n_tri < AUTO_BVH_THRESHOLD else "bvh"
         self.instances = instances
