@@ -144,3 +144,25 @@ def test_tracer_variance_reduction():
     vp = cp.var(0, ddof=1).sum()
     vq = cq.var(0, ddof=1).sum()
     assert vq < 0.5 * vp, (vp, vq)
+
+
+def test_stream_is_lane_id_after_advance():
+    """SobolState.stream must stay the pure lane id across batches
+    (RNGState contract — Host* components index host buffers with it);
+    the batch offset lives in .offset and only shifts the sample index."""
+    rng = SobolQRNG(seed=5, dims=4)
+    rng.advance(1024)  # capacity not a multiple of the host buffer below
+    lanes = jnp.arange(64, dtype=jnp.uint32)
+    st = rng.state_for(rng.counter_words, lanes)
+    np.testing.assert_array_equal(np.asarray(st.stream), np.arange(64))
+    np.testing.assert_array_equal(np.asarray(st.index), np.arange(64) + 1024)
+
+    from theia_tpu.light import HostWavelengthSource
+
+    src = HostWavelengthSource(np.linspace(400.0, 500.0, 1000, dtype=np.float32))
+    (lam, _), _ = src.sample(
+        {k: jnp.asarray(v) for k, v in src.params().items()}, st
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lam), src.wavelength[np.arange(64) % 1000]
+    )

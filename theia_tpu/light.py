@@ -790,7 +790,14 @@ class MuonTrackLightSource(LightSource):
         x = x - dist_start2c  # x=0 -> ray starts at startPosition
         ray_pos = start + x[..., None] * track_dir
         ray_dir = normalize(observer - ray_pos)
-        time = params["startTime"] + x / jnp.float32(u.speed_of_light)
+        # Emission time interpolates startTime..endTime by track fraction,
+        # consistent with sample_forward. (The reference instead assumes
+        # speed-of-light travel here — glsl `startTime + x/c`,
+        # lightsource.particles.muon.glsl:111 — which disagrees with its own
+        # forward branch whenever endTime != startTime + L/c; both agree in
+        # the physical muon case.)
+        frac = x / track_dist
+        time = params["startTime"] * (1.0 - frac) + params["endTime"] * frac
         contrib = contrib * dw_dA(ray_pos, observer, normal)
 
         cos_obs = dot(track_dir, ray_dir)

@@ -21,7 +21,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .intersect_woop import WoopPack  # reuse pytree style
+from ._intersect_tiles import (
+    block_slab_hit,
+    check_vmem_budget,
+    pack_rays,
+    rcp,
+    safe,
+    select_winner,
+    tile_aabbs,
+)
 
 __all__ = ["MTPack", "pack_mt", "nearest_triangle_mt"]
 
@@ -62,17 +70,8 @@ def pack_mt(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> MTPack:
         tri[:, 3 + c, :] = e1[:, c].reshape(n_tiles, BT)
         tri[:, 6 + c, :] = e2[:, c].reshape(n_tiles, BT)
 
-    aabb = np.zeros((n_tiles, 8), np.float32)
-    pts = np.stack([v0, v0 + e1, v0 + e2])  # (3, T_pad, 3)
-    for k in range(n_tiles):
-        s = slice(k * BT, min((k + 1) * BT, n_tri))
-        if s.start >= n_tri:
-            aabb[k, 0:3] = 1.0
-            aabb[k, 4:7] = -1.0
-            continue
-        p = pts[:, s, :].reshape(-1, 3)
-        aabb[k, 0:3] = p.min(0)
-        aabb[k, 4:7] = p.max(0)
+    check_vmem_budget("pallas", n_tri, tri.nbytes)
+    aabb = tile_aabbs(v0, e1, e2, n_tri, n_tiles, BT)
     return MTPack(jnp.asarray(tri), jnp.asarray(aabb), n_tri)
 
 
@@ -85,45 +84,13 @@ def _kernel(x_ref, tmax_ref, tri_ref, aabb_ref, t_out, idx_out, t_sc, i_sc):
     dx = x_ref[:, 4:5]
     dy = x_ref[:, 5:6]
     dz = x_ref[:, 6:7]
-
-    def rcp(v):
-        r = pl.reciprocal(v, approx=True)
-        return r * (2.0 - v * r)
-
-    def safe(v):
-        return jnp.where(jnp.abs(v) < 1e-20, 1e-20, v)
-
-    idx_ = rcp(safe(dx))
-    idy_ = rcp(safe(dy))
-    idz_ = rcp(safe(dz))
+    inv = (rcp(safe(dx)), rcp(safe(dy)), rcp(safe(dz)))
 
     t_sc[:] = tmax_ref[:]
     i_sc[:] = jnp.full(i_sc.shape, -1, jnp.int32)
 
     def tile(k, _):
-        lox = aabb_ref[k, 0]
-        loy = aabb_ref[k, 1]
-        loz = aabb_ref[k, 2]
-        hix = aabb_ref[k, 4]
-        hiy = aabb_ref[k, 5]
-        hiz = aabb_ref[k, 6]
-        t1x = (lox - ox) * idx_
-        t2x = (hix - ox) * idx_
-        t1y = (loy - oy) * idy_
-        t2y = (hiy - oy) * idy_
-        t1z = (loz - oz) * idz_
-        t2z = (hiz - oz) * idz_
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-            jnp.maximum(jnp.minimum(t1z, t2z), 0.0),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-            jnp.minimum(jnp.maximum(t1z, t2z), t_sc[:]),
-        )
-        any_hit = jnp.any(tn <= tf)
-
-        @pl.when(any_hit)
+        @pl.when(block_slab_hit(aabb_ref, k, (ox, oy, oz), inv, t_sc[:]))
         def _():
             v0x = tri_ref[k, 0:1, :]
             v0y = tri_ref[k, 1:2, :]
@@ -155,17 +122,7 @@ def _kernel(x_ref, tmax_ref, tri_ref, aabb_ref, t_out, idx_out, t_sc, i_sc):
                 & (b1 + b2 <= 1.0 + 1e-6)
                 & (t > 0.0)
             )
-            th = jnp.where(hit, t, jnp.inf)
-            tt = jnp.min(th, axis=1, keepdims=True)
-            local = jax.lax.broadcasted_iota(jnp.int32, th.shape, 1)
-            ic = jnp.min(
-                jnp.where(th <= tt, local, jnp.int32(0x7FFFFFFF)),
-                axis=1,
-                keepdims=True,
-            )
-            better = tt < t_sc[:]
-            i_sc[:] = jnp.where(better, ic + k * BT, i_sc[:])
-            t_sc[:] = jnp.where(better, tt, t_sc[:])
+            select_winner(jnp.where(hit, t, jnp.inf), k, BT, t_sc, i_sc)
 
         return 0
 
@@ -218,17 +175,6 @@ def nearest_triangle_mt(
     """Nearest-hit query: returns (t, tri_idx); t=inf / idx=-1 on miss."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n = origin.shape[0]
-    n_pad = max(BN, -(-n // BN) * BN)
-    pad = n_pad - n
-    one = jnp.ones((n, 1), jnp.float32)
-    zero = jnp.zeros((n, 1), jnp.float32)
-    x = jnp.concatenate([origin, one, direction, zero], axis=1)
-    tmax = jnp.broadcast_to(
-        jnp.asarray(t_max, jnp.float32), (n,)
-    ).reshape(n, 1)
-    if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0)))
-        tmax = jnp.pad(tmax, ((0, pad), (0, 0)))
+    x, tmax, n = pack_rays(origin, direction, t_max, BN)
     t, idx = _call(x, tmax, pack.tri, pack.aabb, pack.n_tri, interpret)
     return t[:n], idx[:n]

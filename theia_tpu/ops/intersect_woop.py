@@ -36,6 +36,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._intersect_tiles import (
+    block_slab_hit,
+    check_vmem_budget,
+    pack_rays,
+    rcp,
+    safe,
+    select_winner,
+    tile_aabbs,
+)
+
 __all__ = ["WoopPack", "pack_woop", "morton_order", "nearest_triangle_woop"]
 
 BN = 256  # rays per grid step
@@ -123,19 +133,8 @@ def pack_woop(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> WoopPack:
             lin[:, :, c, :], 1, 2
         )
 
-    # per-tile AABBs over real triangles only
-    aabb = np.zeros((n_tiles, 8), np.float32)
-    pts = np.concatenate([v0, v0 + e1, v0 + e2], axis=0).reshape(3, n_tri, 3)
-    for k in range(n_tiles):
-        s = slice(k * BT, min((k + 1) * BT, n_tri))
-        if s.start >= n_tri:  # tile entirely padding
-            aabb[k, 0:3] = 1.0
-            aabb[k, 4:7] = -1.0  # inverted -> slab test always fails
-            continue
-        p = pts[:, s, :].reshape(-1, 3)
-        aabb[k, 0:3] = p.min(0)
-        aabb[k, 4:7] = p.max(0)
-
+    check_vmem_budget("woop", n_tri, b.nbytes)
+    aabb = tile_aabbs(v0, e1, e2, n_tri, n_tiles, BT)
     return WoopPack(jnp.asarray(b), jnp.asarray(aabb), n_tri)
 
 
@@ -145,55 +144,14 @@ def _kernel(
 ):
     n_tiles = b_ref.shape[0]
 
-    ox = x_ref[:, 0:1]
-    oy = x_ref[:, 1:2]
-    oz = x_ref[:, 2:3]
-    dx = x_ref[:, 4:5]
-    dy = x_ref[:, 5:6]
-    dz = x_ref[:, 6:7]
-
-    def rcp(v):
-        # approx reciprocal + one Newton step: ~1e-7 relative error
-        r = pl.reciprocal(v, approx=True)
-        return r * (2.0 - v * r)
-
-    def safe(v):
-        # slab-test reciprocals must stay finite: 0*inf = nan would leak
-        # into the min/max chain and could falsely cull a tile
-        return jnp.where(jnp.abs(v) < 1e-20, 1e-20, v)
-
-    idx_ = rcp(safe(dx))
-    idy_ = rcp(safe(dy))
-    idz_ = rcp(safe(dz))
+    o = (x_ref[:, 0:1], x_ref[:, 1:2], x_ref[:, 2:3])
+    inv = tuple(rcp(safe(x_ref[:, 4 + c : 5 + c])) for c in range(3))
 
     t_sc[:] = tmax_ref[:]
     i_sc[:] = jnp.full(i_sc.shape, -1, jnp.int32)
 
     def tile(k, _):
-        # ---- slab test: can any ray in the block hit this tile's AABB? --
-        lox = aabb_ref[k, 0]
-        loy = aabb_ref[k, 1]
-        loz = aabb_ref[k, 2]
-        hix = aabb_ref[k, 4]
-        hiy = aabb_ref[k, 5]
-        hiz = aabb_ref[k, 6]
-        t1x = (lox - ox) * idx_
-        t2x = (hix - ox) * idx_
-        t1y = (loy - oy) * idy_
-        t2y = (hiy - oy) * idy_
-        t1z = (loz - oz) * idz_
-        t2z = (hiz - oz) * idz_
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-            jnp.maximum(jnp.minimum(t1z, t2z), 0.0),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-            jnp.minimum(jnp.maximum(t1z, t2z), t_sc[:]),
-        )
-        any_hit = jnp.any(tn <= tf)
-
-        @pl.when(any_hit)
+        @pl.when(block_slab_hit(aabb_ref, k, o, inv, t_sc[:]))
         def _():
             y = jax.lax.dot_general(
                 x_ref[:],
@@ -217,17 +175,7 @@ def _kernel(
                 & (b2 >= -_EPS)
                 & (b1 + b2 <= 1.0 + _EPS)
             )
-            th = jnp.where(hit, t, jnp.inf)
-            tt = jnp.min(th, axis=1, keepdims=True)
-            local = jax.lax.broadcasted_iota(jnp.int32, th.shape, 1)
-            ic = jnp.min(
-                jnp.where(th <= tt, local, jnp.int32(0x7FFFFFFF)),
-                axis=1,
-                keepdims=True,
-            )
-            better = tt < t_sc[:]
-            i_sc[:] = jnp.where(better, ic + k * BT, i_sc[:])
-            t_sc[:] = jnp.where(better, tt, t_sc[:])
+            select_winner(jnp.where(hit, t, jnp.inf), k, BT, t_sc, i_sc)
 
         return 0
 
@@ -296,17 +244,6 @@ def nearest_triangle_woop(
     watertightness margins for scenes at unit scale."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n = origin.shape[0]
-    n_pad = max(BN, -(-n // BN) * BN)
-    pad = n_pad - n
-    one = jnp.ones((n, 1), jnp.float32)
-    zero = jnp.zeros((n, 1), jnp.float32)
-    x = jnp.concatenate([origin, one, direction, zero], axis=1)
-    tmax = jnp.broadcast_to(
-        jnp.asarray(t_max, jnp.float32), (n,)
-    ).reshape(n, 1)
-    if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0)))
-        tmax = jnp.pad(tmax, ((0, pad), (0, 0)))
+    x, tmax, n = pack_rays(origin, direction, t_max, BN)
     t, idx = _call(x, tmax, pack.b, pack.aabb, pack.n_tri, interpret, precision)
     return t[:n], idx[:n]

@@ -398,22 +398,30 @@ def sobol_owen_uniform(
 class SobolState:
     """Traceable per-lane cursor of the Owen-scrambled Sobol generator.
 
-    Drop-in for :class:`RNGState` inside tracers: ``stream`` is the global
-    sample index (lane + batch offset), ``dim`` the Sobol dimension."""
+    Drop-in for :class:`RNGState` inside tracers: ``stream`` is the pure
+    lane id (same contract as :class:`RNGState` — Host* buffer components
+    index host rows with it), ``offset`` the batch offset, and the Sobol
+    sample index is their sum; ``dim`` is the Sobol dimension."""
 
     dirs: jax.Array  # uint32[D, 32]
     seed: jax.Array  # uint32 scalar
-    stream: jax.Array  # uint32 per lane (sample index incl. batch offset)
+    offset: jax.Array  # uint32 scalar (batch offset in sample indices)
+    stream: jax.Array  # uint32 per lane (lane id, like RNGState.stream)
     dim: jax.Array  # uint32 per lane
 
+    @property
+    def index(self) -> jax.Array:
+        """Global Sobol sample index per lane (lane + batch offset)."""
+        return self.stream + self.offset
+
     def uniform(self) -> tuple[jax.Array, "SobolState"]:
-        u = sobol_owen_uniform(self.dirs, self.seed, self.stream, self.dim)
+        u = sobol_owen_uniform(self.dirs, self.seed, self.index, self.dim)
         return u, replace(self, dim=self.dim + jnp.uint32(1))
 
     def uniform2d(self) -> tuple[tuple[jax.Array, jax.Array], "SobolState"]:
-        u1 = sobol_owen_uniform(self.dirs, self.seed, self.stream, self.dim)
+        u1 = sobol_owen_uniform(self.dirs, self.seed, self.index, self.dim)
         u2 = sobol_owen_uniform(
-            self.dirs, self.seed, self.stream, self.dim + jnp.uint32(1)
+            self.dirs, self.seed, self.index, self.dim + jnp.uint32(1)
         )
         return (u1, u2), replace(self, dim=self.dim + jnp.uint32(2))
 
@@ -457,7 +465,8 @@ class SobolQRNG(RNG):
         return SobolState(
             dirs=sobol_direction_numbers(self.dims),
             seed=jnp.uint32(self.seed & 0xFFFFFFFF),
-            stream=streams + _u32(counter[0]),
+            offset=_u32(counter[0]),
+            stream=streams,
             dim=jnp.zeros_like(streams),
         )
 
@@ -466,7 +475,8 @@ class SobolQRNG(RNG):
         return SobolState(
             dirs=sobol_direction_numbers(self.dims),
             seed=jnp.uint32(self.seed & 0xFFFFFFFF),
-            stream=stream + jnp.uint32(self.offset & 0xFFFFFFFF),
+            offset=jnp.uint32(self.offset & 0xFFFFFFFF),
+            stream=stream,
             dim=_u32(jnp.broadcast_to(_u32(dim), stream.shape)),
         )
 
@@ -481,7 +491,7 @@ class SobolQRNG(RNG):
             sobol_owen_uniform(
                 sobol_direction_numbers(self.dims),
                 jnp.uint32(self.seed & 0xFFFFFFFF),
-                st.stream,
+                st.index,
                 dims,
             )
         )

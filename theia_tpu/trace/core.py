@@ -94,6 +94,23 @@ class TracerBase(Component):
     recompilation (reference semantics: indirect dispatch,
     src/theia/trace.py:354-408, 478-481)."""
 
+    @property
+    def _debug_rng(self) -> bool:
+        """Conformance hook: when set, ``_trace_batch`` additionally returns
+        each lane's final RNG dim counter (see tests/test_rng_schedule.py).
+
+        The flag is read at *trace* time, so it must invalidate the jit
+        cache on change — jax.jit keys on argument avals only and would
+        otherwise keep serving the stale non-debug computation."""
+        return self.__dict__.get("_debug_rng_flag", False)
+
+    @_debug_rng.setter
+    def _debug_rng(self, value: bool) -> None:
+        if bool(value) != self.__dict__.get("_debug_rng_flag", False):
+            self.__dict__["_debug_rng_flag"] = bool(value)
+            if "_jit_trace" in self.__dict__:
+                self._jit_trace = jax.jit(self._trace_batch)
+
     def _init_batch(self, batchSize: int, capacity: int | None) -> None:
         capacity = batchSize if capacity is None else capacity
         if not 0 < batchSize <= capacity:

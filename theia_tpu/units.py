@@ -201,6 +201,9 @@ kHz = Unit("frequency", 1e-6, "kHz")
 Hz = Unit("frequency", 1e-9, "Hz")
 
 # wavelength (base: nanometer — its own dimension, like the reference)
+# NOTE: ``um`` is a *wavelength* micron (1e3 nm) to match the reference API
+# (src/theia/units.py:213); early theia_tpu snapshots briefly exposed it as a
+# length (1e-6 m) — use ``um_len`` for the length micron.
 um = Unit("wavelength", 1e3, "um")
 nm = Unit("wavelength", 1.0, "nm")
 

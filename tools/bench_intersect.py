@@ -119,10 +119,19 @@ def main():
     oj = jnp.asarray(o)
     dj = jnp.asarray(d)
 
+    from theia_tpu.ops.intersect_mt_pallas import nearest_triangle_mt, pack_mt
+
+    mtp = pack_mt(v0, e1, e2)
+
     @jax.jit
     def woop_run(o, d):
         t, i = nearest_triangle_woop(pack, o, d, tmax)
         return t.sum() + i.sum()
+
+    @jax.jit
+    def mt_run(o, d):
+        t, i = nearest_triangle_mt(mtp, o, d, tmax)
+        return jnp.where(jnp.isfinite(t), t, 0.0).sum() + i.sum()
 
     class P:  # minimal stand-in for ScenePack in _nearest_triangle
         w_v0 = jnp.asarray(v0, jnp.float32)
@@ -131,10 +140,14 @@ def main():
 
     @jax.jit
     def brute_run(o, d):
-        t, i, b1, b2 = _nearest_triangle(P, o, d, tmax, 256)
+        t, i = _nearest_triangle(P, o, d, tmax, 256)
         return jnp.where(jnp.isfinite(t), t, 0.0).sum() + i.sum()
 
-    for name, fn in (("woop-pallas", woop_run), ("brute-jnp", brute_run)):
+    for name, fn in (
+        ("woop-pallas", woop_run),
+        ("mt-pallas", mt_run),
+        ("brute-jnp", brute_run),
+    ):
         val = float(np.asarray(fn(oj, dj)))
         ts = []
         for rep in range(3):
