@@ -21,13 +21,14 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", 256 * 1024))
     max_path = int(os.environ.get("BENCH_PATH_LENGTH", 10))
     runs = int(os.environ.get("BENCH_RUNS", 3))
+    accel = os.environ.get("BENCH_ACCEL", "brute")
 
     import jax
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __graft_entry__ as g
 
-    tracer = g._build_scene_tracer(batch, max_path=max_path)
+    tracer = g._build_scene_tracer(batch, max_path=max_path, accel=accel)
     fn, (p, counter, streams) = tracer.trace_fn()
     step = jax.jit(fn)
 

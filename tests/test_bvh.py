@@ -95,7 +95,7 @@ def test_traversal_matches_bruteforce():
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
     t_b, i_b = _nearest_triangle(pack, o, d, jnp.inf, 256)
-    t_v, i_v, b1_v, b2_v = nearest_triangle_bvh(packed, o, d, jnp.inf)
+    t_v, i_v = nearest_triangle_bvh(packed, o, d, jnp.inf)
 
     t_b, i_b, t_v, i_v = map(np.asarray, (t_b, i_b, t_v, i_v))
     hit_b = i_b >= 0
@@ -149,12 +149,18 @@ def test_scene_bvh_accel_end_to_end():
     assert np.abs(estimate / 1e9 - 1.0) < 0.08
 
 
-def test_accel_auto_selects_by_triangle_count():
-    """accel='auto' picks brute below AUTO_BVH_THRESHOLD, bvh above
-    (crossover measured in PERF.md round 2)."""
+def test_accel_auto_selects_by_scene_shape():
+    """accel='auto': brute for small scenes, the two-level instanced
+    traversal once instancing meaningfully shrinks per-candidate work
+    (crossover measured in PERF.md round 2); explicit accel= overrides."""
     from theia_tpu.material import Material, MaterialStore
     from theia_tpu.render import SceneTemplate
-    from theia_tpu.scene import AUTO_BVH_THRESHOLD, MeshStore, Scene, Transform
+    from theia_tpu.scene import (
+        AUTO_INSTANCED_THRESHOLD,
+        MeshStore,
+        Scene,
+        Transform,
+    )
 
     mat = Material("m", None, None, flags="B")
     store = MaterialStore.pack([mat])
@@ -164,7 +170,7 @@ def test_accel_auto_selects_by_triangle_count():
 
     n_tri = len(proto.mesh.indices)
     small_n = 2
-    big_n = AUTO_BVH_THRESHOLD // n_tri + 1
+    big_n = AUTO_INSTANCED_THRESHOLD // n_tri + 1
     small = template.createScene(
         [Transform.TRS(translate=(2.0 * i, 0, 0)) for i in range(small_n)],
         store,
@@ -173,10 +179,9 @@ def test_accel_auto_selects_by_triangle_count():
         [Transform.TRS(translate=(2.0 * i, 0, 0)) for i in range(big_n)],
         store,
     )
-    assert small.accel == "brute" and small.pack.bvh is None
-    assert big.accel == "bvh" and big.pack.bvh is not None
-    # leaf_size is honored
-    assert big.pack.bvh.leaf_size == 8
+    assert small.accel == "brute" and small.pack.instanced is None
+    assert big.accel == "instanced" and big.pack.instanced is not None
+    # explicit accel + leaf_size are honored
     custom = template.createScene(
         [Transform.TRS(translate=(2.0 * i, 0, 0)) for i in range(big_n)],
         store,
@@ -214,7 +219,7 @@ def test_stamped_array_bvh_matches_brute():
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
     t_b, i_b = _nearest_triangle(brute.pack, o, d, jnp.inf, 256)
-    t_v, i_v, _, _ = nearest_triangle_bvh(bvh.pack.bvh, o, d, jnp.inf)
+    t_v, i_v = nearest_triangle_bvh(bvh.pack.bvh, o, d, jnp.inf)
     t_b, i_b, t_v, i_v = map(np.asarray, (t_b, i_b, t_v, i_v))
     hit_b = i_b >= 0
     assert hit_b.sum() > 100  # the array actually gets hit

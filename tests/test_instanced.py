@@ -1,0 +1,181 @@
+"""Two-level instanced traversal tests (ops.instanced).
+
+The accel backend for the domain's scaling scenario — detector arrays of
+instanced modules. Contract: identical hits to the brute scan (up to
+shared-edge fp ties), correct auto selection, end-to-end tracing, and
+gradients (selection runs under stop_gradient, the winner t/barycentrics
+are recomputed differentiably in accel.intersect_scene).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from theia_tpu.material import Material, MaterialStore
+from theia_tpu.scene import (
+    AUTO_INSTANCED_THRESHOLD,
+    MeshStore,
+    Scene,
+    Transform,
+)
+
+ASSETS = "/root/reference/assets"
+
+
+def array_scene(n=3, accel="instanced", mixed=False):
+    """n^3 grid of instanced spheres (plus a suzanne when mixed)."""
+    mat = Material("m", None, None, flags="B")
+    store = MaterialStore.pack([mat])
+    meshes = MeshStore(
+        {"sphere": f"{ASSETS}/sphere.stl", "suzanne": f"{ASSETS}/suzanne.stl"}
+    )
+    insts = [
+        meshes.createInstance(
+            "sphere",
+            "m",
+            Transform.TRS(scale=0.4, translate=(2.0 * i, 2.0 * j, 2.0 * k)),
+        )
+        for i in range(n)
+        for j in range(n)
+        for k in range(n)
+    ]
+    if mixed:
+        insts.append(
+            meshes.createInstance(
+                "suzanne", "m", Transform.TRS(translate=(-3.0, 0.0, 0.0))
+            )
+        )
+    return Scene(insts, store, medium=None, accel=accel)
+
+
+def random_rays(n, lo=-4.0, hi=7.0, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 2)
+    o = jax.random.uniform(ks[0], (n, 3), jnp.float32, lo, hi)
+    d = jax.random.normal(ks[1], (n, 3), jnp.float32)
+    return o, d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+@pytest.mark.parametrize("mixed", [False, True])
+def test_matches_bruteforce(mixed):
+    from theia_tpu.accel import _nearest, _nearest_triangle
+
+    scene = array_scene(3, "instanced", mixed=mixed)
+    assert scene.pack.instanced is not None
+    o, d = random_rays(4096)
+
+    t_b, i_b = _nearest_triangle(scene.pack, o, d, jnp.inf, 256)
+    t_i, i_i = _nearest(scene.pack, o, d, jnp.inf, 256)
+
+    t_b, i_b, t_i, i_i = map(np.asarray, (t_b, i_b, t_i, i_i))
+    hit_b = i_b >= 0
+    assert hit_b.any() and (~hit_b).any()
+    assert (hit_b == (i_i >= 0)).mean() > 0.999
+    both = hit_b & (i_i >= 0)
+    # nearest t must agree; winning index may differ on exact shared edges
+    assert np.allclose(t_i[both], t_b[both], rtol=1e-4, atol=1e-5)
+    assert (i_i[both] == i_b[both]).mean() > 0.995
+
+
+def test_respects_t_max():
+    from theia_tpu.accel import _nearest
+
+    scene = array_scene(2, "instanced")
+    o, d = random_rays(2048, seed=3)
+    t_far, i_far = _nearest(scene.pack, o, d, jnp.inf, 256)
+    cap = 1.5
+    t_cap, i_cap = _nearest(scene.pack, o, d, cap, 256)
+    t_far, i_far, t_cap, i_cap = map(np.asarray, (t_far, i_far, t_cap, i_cap))
+    beyond = (i_far >= 0) & (t_far >= cap)
+    assert beyond.any()
+    assert (i_cap[beyond] == -1).all()
+    within = (i_far >= 0) & (t_far < cap)
+    np.testing.assert_array_equal(i_cap[within], i_far[within])
+
+
+def test_auto_selects_instanced():
+    scene = array_scene(3, "auto")  # 27 x 1280 = 34560 flattened tris
+    assert scene.accel == "instanced"
+    # a single instance must NOT pick the two-level path
+    single = array_scene(1, "auto")
+    assert single.accel == "brute"
+    assert 27 * 1280 > AUTO_INSTANCED_THRESHOLD
+
+
+def test_end_to_end_energy():
+    """Ground-truth energy check with accel='instanced' (mirrors the BVH
+    end-to-end test): absorbing spheres around a source — every photon
+    either escapes through gaps or is detected; detected fraction must
+    match the brute-backend run exactly on identical RNG streams."""
+    import theia_tpu.units as u
+    from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+    from theia_tpu.material import Material as M, MaterialStore as MS
+    from theia_tpu.random import PhiloxRNG
+    from theia_tpu.response import HistogramHitResponse
+    from theia_tpu.testing import WaterTestModel
+    from theia_tpu.trace.scene import SceneForwardTracer
+
+    def run(accel):
+        medium = WaterTestModel(mu_a=0.0, mu_s=0.02, g=0.0).createMedium()
+        # photons arrive from the surrounding water -> water is the
+        # *outside* medium of the detector shells
+        mat = M("det", None, medium, flags="DB")
+        store = MS.pack([mat])
+        meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+        insts = [
+            meshes.createInstance(
+                "sphere",
+                "det",
+                Transform.TRS(scale=0.5, translate=(2.0 * i - 1.0, 2.0 * j - 1.0, 0.0)),
+            )
+            for i in range(2)
+            for j in range(2)
+        ]
+        scene = Scene(insts, store, medium="water_test", accel=accel)
+        tracer = SceneForwardTracer(
+            8 * 1024,
+            SphericalLightSource(
+                position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e6
+            ),
+            UniformWavelengthSource(lambdaRange=(400.0, 500.0)),
+            HistogramHitResponse(nBins=40, t0=0.0, binSize=2.0),
+            PhiloxRNG(key=0xFEED),
+            scene,
+            maxPathLength=6,
+            maxTime=80.0 * u.ns,
+        )
+        curve, _ = tracer.run()
+        return np.asarray(curve)
+
+    a = run("instanced")
+    b = run("brute")
+    assert a.sum() > 0
+    # same RNG streams + same hit semantics -> identical light curves up
+    # to fp noise from the object-space vs world-space triangle tests
+    np.testing.assert_allclose(a, b, rtol=5e-3)
+
+
+def test_gradient_through_instanced():
+    """jax.grad through a scene trace with the while_loop-based backend:
+    selection is stop_gradiented, winner t recomputed differentiably."""
+    from theia_tpu.accel import intersect_scene
+
+    scene = array_scene(2, "instanced")
+    pack = scene.pack
+    o, d = random_rays(256, seed=5)
+
+    def loss(shift):
+        hit = intersect_scene(
+            pack, jnp.full(256, -1, jnp.int32), o + shift, d, jnp.inf
+        )
+        return jnp.where(hit.valid, hit.t, 0.0).sum()
+
+    g = jax.grad(loss)(jnp.zeros(3, jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
+    # FD check along x
+    eps = 1e-3
+    lp = loss(jnp.array([eps, 0.0, 0.0], jnp.float32))
+    lm = loss(jnp.array([-eps, 0.0, 0.0], jnp.float32))
+    fd = (lp - lm) / (2 * eps)
+    assert np.isclose(float(g[0]), float(fd), rtol=5e-2, atol=1e-1)

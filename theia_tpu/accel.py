@@ -61,16 +61,18 @@ class SurfaceHit:
     error: jax.Array  # i32[N] media-mismatch error code or 0
 
 
-def _nearest_triangle(pack: ScenePack, origin, direction, t_max, chunk: int):
-    """Scan over triangle chunks keeping the nearest hit per lane.
+def nearest_in_soup(v0, e1, e2, origin, direction, t_max, chunk: int):
+    """Scan a (T, 3) triangle soup keeping the nearest hit per lane.
 
     TPU layout note: all intermediates are (N, C) with the chunk axis on
     the 128-wide vector lanes — structure-of-arrays over the xyz
     components. The naive (N, C, 3) formulation puts the 3-axis on the
     lanes (2.3% utilization, measured ~8x slower end-to-end).
 
-    Returns (t, tri_idx, b1, b2); tri_idx == -1 on miss."""
-    n_tri = pack.w_v0.shape[0]
+    ``direction`` need not be normalized (the instanced backend passes
+    object-space rays whose unnormalized direction preserves the world
+    ray parameter). Returns (t, tri_idx); tri_idx == -1 on miss."""
+    n_tri = v0.shape[0]
     n_chunks = -(-n_tri // chunk)
     pad = n_chunks * chunk - n_tri
 
@@ -79,9 +81,9 @@ def _nearest_triangle(pack: ScenePack, origin, direction, t_max, chunk: int):
         a = jnp.pad(a, ((0, pad), (0, 0)), constant_values=fill)
         return tuple(a[:, i].reshape(n_chunks, chunk) for i in range(3))
 
-    v0x, v0y, v0z = comp(pack.w_v0, 3.0e38)  # padded tris can never be hit
-    e1x, e1y, e1z = comp(pack.w_e1, 0.0)
-    e2x, e2y, e2z = comp(pack.w_e2, 0.0)
+    v0x, v0y, v0z = comp(v0, 3.0e38)  # padded tris can never be hit
+    e1x, e1y, e1z = comp(e1, 0.0)
+    e2x, e2y, e2z = comp(e2, 0.0)
 
     N = origin.shape[0]
     ox, oy, oz = (origin[:, i : i + 1] for i in range(3))
@@ -147,6 +149,13 @@ def _nearest_triangle(pack: ScenePack, origin, direction, t_max, chunk: int):
     return t, idx
 
 
+def _nearest_triangle(pack: ScenePack, origin, direction, t_max, chunk: int):
+    """Nearest hit over the scene's world-space triangle soup."""
+    return nearest_in_soup(
+        pack.w_v0, pack.w_e1, pack.w_e2, origin, direction, t_max, chunk
+    )
+
+
 def _nearest(pack: ScenePack, origin, direction, t_max, chunk: int):
     """Nearest-hit query via the scene's chosen acceleration backend.
 
@@ -154,6 +163,12 @@ def _nearest(pack: ScenePack, origin, direction, t_max, chunk: int):
     miss and indices into the pack's triangle tables (the Pallas backends
     Morton-reorder triangles at build time, so their tables are permuted
     consistently)."""
+    if pack.instanced is not None:
+        from .ops.instanced import nearest_triangle_instanced
+
+        return nearest_triangle_instanced(
+            pack.instanced, origin, direction, t_max, chunk
+        )
     if pack.mt is not None:
         from .ops.intersect_mt_pallas import nearest_triangle_mt
 
@@ -165,8 +180,7 @@ def _nearest(pack: ScenePack, origin, direction, t_max, chunk: int):
     if pack.bvh is not None:
         from .ops.bvh_traverse import nearest_triangle_bvh
 
-        t, tri, _, _ = nearest_triangle_bvh(pack.bvh, origin, direction, t_max)
-        return t, tri
+        return nearest_triangle_bvh(pack.bvh, origin, direction, t_max)
     return _nearest_triangle(pack, origin, direction, t_max, chunk)
 
 
@@ -197,9 +211,20 @@ def intersect_scene(
     media-mismatch error exactly like the reference.
 
     Reconstruction reads exactly two wide rows per lane (triangle row +
-    instance row); barycentrics for the single winner are recomputed from
-    the world triangle in the row (TPU gathers are the cost driver here)."""
-    t, tri = _nearest(pack, origin, direction, t_max, chunk)
+    instance row); barycentrics AND the ray parameter for the single
+    winner are recomputed from the world triangle in the row (TPU gathers
+    are the cost driver here). The *selection* (which triangle wins) runs
+    under ``stop_gradient``: it is piecewise constant in the ray, so away
+    from visibility boundaries the winner's recomputed t/b1/b2 carry the
+    exact derivative — and backends that traverse with ``lax.while_loop``
+    (bvh, instanced) become usable under ``jax.grad``."""
+    t_sel, tri = _nearest(
+        pack,
+        lax.stop_gradient(origin),
+        lax.stop_gradient(direction),
+        lax.stop_gradient(jnp.asarray(t_max, jnp.float32)),
+        chunk,
+    )
     valid = tri >= 0
     tri_safe = jnp.maximum(tri, 0)
 
@@ -223,6 +248,9 @@ def intersect_scene(
     qy = tz * we1[:, 0] - tx * we1[:, 2]
     qz = tx * we1[:, 1] - ty * we1[:, 0]
     b2 = (direction[:, 0] * qx + direction[:, 1] * qy + direction[:, 2] * qz) * inv
+    # differentiable winner t (equals the selected backend t up to fp)
+    t_win = (we2[:, 0] * qx + we2[:, 1] * qy + we2[:, 2] * qz) * inv
+    t = jnp.where(valid, t_win, jnp.inf)
 
     bb1, bb2 = b1[:, None], b2[:, None]
     obj_pos = o_v0 + bb1 * o_e1 + bb2 * o_e2
@@ -292,5 +320,13 @@ def is_visible(
     d = target - observer
     dist = jnp.sqrt(jnp.maximum(dot(d, d), 1e-30))
     direction = d / dist[:, None]
-    t, tri = _nearest(pack, observer, direction, dist, chunk)
+    # boolean query: selection only, never differentiated — stop_gradient
+    # keeps while_loop backends (bvh, instanced) jax.grad-compatible
+    t, tri = _nearest(
+        pack,
+        lax.stop_gradient(observer),
+        lax.stop_gradient(direction),
+        lax.stop_gradient(dist),
+        chunk,
+    )
     return tri < 0

@@ -5,6 +5,15 @@ at node+1 (interior) or test the leaf's triangles and jump to the miss
 link; on miss jump to the miss link; -1 terminates. All lanes advance in
 lock-step inside a ``lax.while_loop`` — node data is fetched with gathers.
 
+Gather-count discipline (the whole path is gather-bound on TPU): each
+node visit costs exactly ONE row gather — nodes are packed as (M, 8)
+f32 rows ``[bmin xyz, bmax xyz, miss, start*32+count]`` with the two
+link fields bit-cast from int32 — and each leaf triangle costs one
+(T, 9) row gather ``[v0, e1, e2]``. The earlier SoA layout (separate
+bmin/bmax/miss/start/count tables + 3 triangle tables) paid 5 gathers
+per node and 3 per triangle and measured ~2.1 s per 65k-ray wavefront
+on the bench chip regardless of scene size.
+
 This replaces the reference's hardware ray-query traversal
 (scene.intersect.glsl rayQueryEXT) with a software BVH suited to SIMD
 wavefronts. On the current bench chip gathers are slow, so the default
@@ -22,56 +31,68 @@ from jax import lax
 
 __all__ = ["PackedBVH", "nearest_triangle_bvh", "pack_bvh"]
 
+#: bits reserved for the leaf triangle count in the packed start/count
+#: field; leaf_size must stay below this and start below 2**26 (~67M
+#: triangles), both far beyond current scenes.
+_COUNT_BITS = 5
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class PackedBVH:
     """Device-resident threaded BVH; ``leaf_size`` is static metadata so
-    the traversal's leaf unroll stays a Python constant under jit."""
+    the traversal's leaf unroll stays a Python constant under jit.
 
-    bmin: jax.Array
-    bmax: jax.Array
-    miss: jax.Array
-    start: jax.Array
-    count: jax.Array
-    tri_v0: jax.Array
-    tri_e1: jax.Array
-    tri_e2: jax.Array
+    ``nodes``: (M, 8) f32 rows ``[bmin xyz, bmax xyz, bits(miss),
+    bits(start*2^5 + count)]`` — start = -1 marks interior nodes (the
+    packed field keeps the sign). ``tri``: (T, 9) f32 rows
+    ``[v0, e1, e2]`` in leaf order; ``order`` maps back to original ids.
+    """
+
+    nodes: jax.Array
+    tri: jax.Array
     order: jax.Array
     leaf_size: int = field(metadata=dict(static=True))
 
 
 def pack_bvh(bvh, w_v0, w_e1, w_e2, leaf_size: int) -> PackedBVH:
-    """Device arrays for traversal: node table + triangles in leaf order."""
+    """Device arrays for traversal: node row table + triangles in leaf
+    order (one gather per node / per triangle, see module docstring)."""
     import numpy as np
 
+    assert leaf_size < (1 << _COUNT_BITS), leaf_size
     order = bvh.order
+    m = len(bvh.miss)
+    nodes = np.zeros((m, 8), np.float32)
+    nodes[:, 0:3] = np.asarray(bvh.bmin, np.float32)
+    nodes[:, 3:6] = np.asarray(bvh.bmax, np.float32)
+    start = np.asarray(bvh.start, np.int64)
+    count = np.asarray(bvh.count, np.int64)
+    assert start.max(initial=0) < (1 << 26), "BVH too large for packed links"
+    # interior nodes keep start=-1 -> packed field stays negative
+    packed = np.where(start >= 0, start << _COUNT_BITS | count, -1)
+    nodes[:, 6] = np.asarray(bvh.miss, np.int32).view(np.float32)
+    nodes[:, 7] = packed.astype(np.int32).view(np.float32)
+
+    tri = np.concatenate(
+        [
+            np.asarray(w_v0, np.float32)[order],
+            np.asarray(w_e1, np.float32)[order],
+            np.asarray(w_e2, np.float32)[order],
+        ],
+        axis=1,
+    )
     return PackedBVH(
-        bmin=jnp.asarray(bvh.bmin),
-        bmax=jnp.asarray(bvh.bmax),
-        miss=jnp.asarray(bvh.miss),
-        start=jnp.asarray(bvh.start),
-        count=jnp.asarray(bvh.count),
-        tri_v0=jnp.asarray(np.asarray(w_v0)[order]),
-        tri_e1=jnp.asarray(np.asarray(w_e1)[order]),
-        tri_e2=jnp.asarray(np.asarray(w_e2)[order]),
+        nodes=jnp.asarray(nodes),
+        tri=jnp.asarray(tri),
         order=jnp.asarray(order),
         leaf_size=leaf_size,
     )
 
 
-def _ray_aabb(origin, inv_dir, bmin, bmax, t_max):
-    """Slab test; returns hit mask (t in (0, t_max])."""
-    t0 = (bmin - origin) * inv_dir
-    t1 = (bmax - origin) * inv_dir
-    tn = jnp.minimum(t0, t1).max(axis=-1)
-    tf = jnp.maximum(t0, t1).min(axis=-1)
-    return (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_max)
-
-
 def nearest_triangle_bvh(packed, origin, direction, t_max):
     """Nearest-hit query with the same contract as accel._nearest_triangle:
-    returns (t, tri_idx, b1, b2), idx = -1 on miss (original triangle ids)."""
+    returns (t, tri_idx), idx = -1 on miss (original triangle ids)."""
     n = origin.shape[0]
     leaf_size = packed.leaf_size
     inv_dir = 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction, 1e-12)
@@ -80,13 +101,12 @@ def nearest_triangle_bvh(packed, origin, direction, t_max):
     idx_best = jnp.full((n,), -1, jnp.int32)
     node = jnp.zeros((n,), jnp.int32)
 
-    tv0, te1, te2 = packed.tri_v0, packed.tri_e1, packed.tri_e2
+    tri_tab = packed.tri
 
     def tri_test(base, k, origin, direction, t_best, idx_best, active):
         tri = base + k
-        v0 = jnp.take(tv0, tri, axis=0, mode="clip")
-        e1 = jnp.take(te1, tri, axis=0, mode="clip")
-        e2 = jnp.take(te2, tri, axis=0, mode="clip")
+        row = jnp.take(tri_tab, tri, axis=0, mode="clip")  # (N, 9)
+        v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
         px = direction[:, 1] * e2[:, 2] - direction[:, 2] * e2[:, 1]
         py = direction[:, 2] * e2[:, 0] - direction[:, 0] * e2[:, 2]
         pz = direction[:, 0] * e2[:, 1] - direction[:, 1] * e2[:, 0]
@@ -123,13 +143,20 @@ def nearest_triangle_bvh(packed, origin, direction, t_max):
         node, t_best, idx_best = carry
         live = node >= 0
         safe = jnp.maximum(node, 0)
-        bmin = jnp.take(packed.bmin, safe, axis=0)
-        bmax = jnp.take(packed.bmax, safe, axis=0)
-        miss = jnp.take(packed.miss, safe)
-        start = jnp.take(packed.start, safe)
-        count = jnp.take(packed.count, safe)
-        hit = live & _ray_aabb(origin, inv_dir, bmin, bmax, t_best)
-        is_leaf = start >= 0
+        row = jnp.take(packed.nodes, safe, axis=0)  # (N, 8) — ONE gather
+        bmin, bmax = row[:, 0:3], row[:, 3:6]
+        miss = lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        sc = lax.bitcast_convert_type(row[:, 7], jnp.int32)
+        is_leaf = sc >= 0
+        start = sc >> _COUNT_BITS
+        count = sc & ((1 << _COUNT_BITS) - 1)
+
+        # slab test
+        t0 = (bmin - origin) * inv_dir
+        t1 = (bmax - origin) * inv_dir
+        tn = jnp.minimum(t0, t1).max(axis=-1)
+        tf = jnp.maximum(t0, t1).min(axis=-1)
+        hit = live & (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_best)
 
         # leaf: test up to leaf_size triangles (static unroll)
         leaf_active = hit & is_leaf
@@ -147,25 +174,11 @@ def nearest_triangle_bvh(packed, origin, direction, t_max):
         cond, body, (node, t_best, idx_best)
     )
 
-    # recompute barycentrics for the winner and map back to original ids
+    # map the winner back to original triangle ids; barycentrics are NOT
+    # returned — callers (accel.intersect_scene) reconstruct them for the
+    # single winner from the tri_data row they gather anyway, so computing
+    # them here would cost three extra per-lane gathers for nothing
     found = idx_best >= 0
     safe = jnp.maximum(idx_best, 0)
-    v0 = jnp.take(tv0, safe, axis=0)
-    e1 = jnp.take(te1, safe, axis=0)
-    e2 = jnp.take(te2, safe, axis=0)
-    px = direction[:, 1] * e2[:, 2] - direction[:, 2] * e2[:, 1]
-    py = direction[:, 2] * e2[:, 0] - direction[:, 0] * e2[:, 2]
-    pz = direction[:, 0] * e2[:, 1] - direction[:, 1] * e2[:, 0]
-    det = e1[:, 0] * px + e1[:, 1] * py + e1[:, 2] * pz
-    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tx = origin[:, 0] - v0[:, 0]
-    ty = origin[:, 1] - v0[:, 1]
-    tz = origin[:, 2] - v0[:, 2]
-    b1 = (tx * px + ty * py + tz * pz) * inv
-    qx = ty * e1[:, 2] - tz * e1[:, 1]
-    qy = tz * e1[:, 0] - tx * e1[:, 2]
-    qz = tx * e1[:, 1] - ty * e1[:, 0]
-    b2 = (direction[:, 0] * qx + direction[:, 1] * qy + direction[:, 2] * qz) * inv
-    t = (e2[:, 0] * qx + e2[:, 1] * qy + e2[:, 2] * qz) * inv
     orig = jnp.where(found, jnp.take(packed.order, safe), -1)
-    return jnp.where(found, t, jnp.inf), orig, b1, b2
+    return jnp.where(found, t_best, jnp.inf), orig

@@ -1,0 +1,242 @@
+"""Two-level instanced traversal: TLAS over instance AABBs, prototype scan.
+
+The domain's scaling scenario is a detector array — hundreds of copies of
+a handful of module meshes (reference: instanced BLAS under a TLAS,
+src/theia/scene.py:454-528 + hardware ray queries). On TPU the win is
+different from a GPU's: instead of gathering per-lane BLAS nodes, every
+lane scans the SAME prototype triangle table (uniform access, zero
+gathers, perfectly vectorized) after transforming its ray into the
+candidate instance's object space with one small gather of the (K, 12)
+transform table.
+
+Per mesh group the query runs a ``lax.while_loop`` over *candidate
+instances in per-lane nearest-entry order*:
+
+1. ``_next_candidate``: a fused chunked scan over the K instance AABBs
+   returns each lane's nearest unprocessed box entry (monotonic
+   ``(t_entry, k)`` cursor — no per-lane visited set needed).
+2. Transform the ray by the candidate's world-to-object row; the
+   direction is NOT normalized, so the object-space ray parameter equals
+   the world one.
+3. ``nearest_in_soup`` over the prototype's object-space triangles
+   (same Moeller-Trumbore + tolerances as the brute backend).
+4. A lane is done once every remaining box entry lies beyond its current
+   nearest hit; the loop ends when all lanes are done. Iteration count is
+   the worst lane's number of boxes closer than its first hit —
+   typically 1-3 for solid modules, ~n_side for array-crossing misses —
+   each iteration costing one prototype scan instead of the brute path's
+   full flattened-soup scan.
+
+Worst case (every lane crosses every box with no hit) degrades to
+K * T_proto tests — the same count as brute force — so the backend is
+never catastrophically wrong, just pays the box scans on top.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["GroupPack", "InstancedPack", "pack_instanced", "nearest_triangle_instanced"]
+
+#: instance AABBs per fused scan chunk ((N, C) intermediates)
+BOX_CHUNK = 64
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class GroupPack:
+    """One prototype mesh + its K placed instances."""
+
+    v0: jax.Array  # f32 (T, 3) object-space triangle soup
+    e1: jax.Array
+    e2: jax.Array
+    w2o: jax.Array  # f32 (K, 12) world-to-object rows (3x4)
+    blo: jax.Array  # f32 (K, 3) world instance AABB lower corners
+    bhi: jax.Array  # f32 (K, 3) upper corners
+    base: jax.Array  # i32 (K,) global triangle row base per instance
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class InstancedPack:
+    groups: tuple  # tuple[GroupPack, ...]
+    n_boxes: int = field(metadata=dict(static=True))  # total instances
+
+
+def pack_instanced(instances, w2o_rows) -> InstancedPack:
+    """Group scene instances by prototype mesh.
+
+    ``instances``: the Scene's MeshInstance list (build order defines the
+    global triangle row layout: each instance's triangles contiguous).
+    ``w2o_rows``: (K, 12) world-to-object rows in the same order.
+    """
+    groups: dict[int, dict] = {}
+    base = 0
+    for k, inst in enumerate(instances):
+        mesh = inst.mesh
+        gid = id(mesh)
+        if gid not in groups:
+            pos = np.asarray(mesh.vertices[:, :3], np.float32)
+            idx = np.asarray(mesh.indices)
+            groups[gid] = dict(
+                v0=pos[idx[:, 0]],
+                e1=pos[idx[:, 1]] - pos[idx[:, 0]],
+                e2=pos[idx[:, 2]] - pos[idx[:, 0]],
+                w2o=[],
+                blo=[],
+                bhi=[],
+                base=[],
+            )
+        g = groups[gid]
+        bb = inst.bbox
+        g["w2o"].append(np.asarray(w2o_rows[k], np.float32))
+        g["blo"].append(np.asarray(bb.lowerCorner, np.float32))
+        g["bhi"].append(np.asarray(bb.upperCorner, np.float32))
+        g["base"].append(base)
+        base += len(inst.mesh.indices)
+
+    packed = tuple(
+        GroupPack(
+            v0=jnp.asarray(g["v0"]),
+            e1=jnp.asarray(g["e1"]),
+            e2=jnp.asarray(g["e2"]),
+            w2o=jnp.asarray(np.stack(g["w2o"]).reshape(len(g["base"]), 12)),
+            blo=jnp.asarray(np.stack(g["blo"])),
+            bhi=jnp.asarray(np.stack(g["bhi"])),
+            base=jnp.asarray(np.asarray(g["base"], np.int32)),
+        )
+        for g in groups.values()
+    )
+    return InstancedPack(groups=packed, n_boxes=len(instances))
+
+
+def _next_candidate(g: GroupPack, origin, inv_dir, last_tn, last_k, t_best):
+    """Per lane: the nearest instance box strictly after the ``(last_tn,
+    last_k)`` cursor whose entry is closer than the current best hit.
+    Returns (tn, k); (inf, -1) when exhausted."""
+    K = g.blo.shape[0]
+    n_chunks = -(-K // BOX_CHUNK)
+    pad = n_chunks * BOX_CHUNK - K
+
+    def comp(a, fill):
+        """(K, 3) -> three (n_chunks, C) component arrays (SoA: the box
+        axis rides the 128-wide vector lanes, like the triangle scan)."""
+        a = jnp.pad(a, ((0, pad), (0, 0)), constant_values=fill)
+        return tuple(a[:, i].reshape(n_chunks, BOX_CHUNK) for i in range(3))
+
+    # padded boxes are inverted far boxes -> rejected below
+    lox, loy, loz = comp(g.blo, 3.0e38)
+    hix, hiy, hiz = comp(g.bhi, -3.0e38)
+
+    ox, oy, oz = (origin[:, i : i + 1] for i in range(3))
+    ivx, ivy, ivz = (inv_dir[:, i : i + 1] for i in range(3))
+
+    def body(carry, chunk):
+        best_tn, best_k = carry
+        clox, cloy, cloz, chix, chiy, chiz, kbase = chunk  # (C,) each
+        t1x = (clox[None] - ox) * ivx  # (N, C)
+        t2x = (chix[None] - ox) * ivx
+        t1y = (cloy[None] - oy) * ivy
+        t2y = (chiy[None] - oy) * ivy
+        t1z = (cloz[None] - oz) * ivz
+        t2z = (chiz[None] - oz) * ivz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        ks = kbase + jax.lax.broadcasted_iota(jnp.int32, tn.shape, 1)
+        ok = (
+            (chix[None] >= clox[None])  # reject padding
+            & (tf >= jnp.maximum(tn, 0.0))
+            & (tn < t_best[:, None])
+            # strictly after the cursor, (tn, k) lexicographic
+            & (
+                (tn > last_tn[:, None])
+                | ((tn == last_tn[:, None]) & (ks > last_k[:, None]))
+            )
+        )
+        tn = jnp.where(ok, tn, jnp.inf)
+        cand_tn = jnp.min(tn, axis=-1)  # (N,)
+        cand_k = jnp.min(
+            jnp.where(tn == cand_tn[:, None], ks, jnp.int32(0x7FFFFFFF)),
+            axis=-1,
+        )
+        better = (cand_tn < best_tn) | (
+            (cand_tn == best_tn) & (cand_k < best_k)
+        )
+        best_k = jnp.where(better, cand_k, best_k)
+        best_tn = jnp.where(better, cand_tn, best_tn)
+        return (best_tn, best_k), None
+
+    N = origin.shape[0]
+    init = (
+        jnp.full((N,), jnp.inf, jnp.float32),
+        jnp.full((N,), jnp.int32(0x7FFFFFFF)),
+    )
+    kbases = jnp.arange(n_chunks, dtype=jnp.int32) * BOX_CHUNK
+    (tn, k), _ = lax.scan(
+        body, init, (lox, loy, loz, hix, hiy, hiz, kbases)
+    )
+    return tn, jnp.where(jnp.isfinite(tn), k, -1)
+
+
+def _group_query(g: GroupPack, origin, direction, t_best, idx_best, chunk):
+    from ..accel import nearest_in_soup
+
+    inv_dir = 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction, 1e-12)
+    neg_inf = jnp.full(origin.shape[:1], -jnp.inf, jnp.float32)
+    tn0, k0 = _next_candidate(
+        g, origin, inv_dir, neg_inf, jnp.full_like(idx_best, -1), t_best
+    )
+
+    def cond(carry):
+        _, k, _, _ = carry
+        return jnp.any(k >= 0)
+
+    def body(carry):
+        tn, k, t_best, idx_best = carry
+        active = k >= 0
+        row = jnp.take(g.w2o, jnp.maximum(k, 0), axis=0)  # (N, 12)
+        lin = row.reshape(-1, 3, 4)[:, :, :3]
+        off = row.reshape(-1, 3, 4)[:, :, 3]
+        o_obj = jnp.einsum("nij,nj->ni", lin, origin) + off
+        d_obj = jnp.einsum("nij,nj->ni", lin, direction)  # NOT normalized
+        t_loc, j_loc = nearest_in_soup(
+            g.v0, g.e1, g.e2, o_obj, d_obj, t_best, chunk
+        )
+        better = active & (j_loc >= 0) & (t_loc < t_best)
+        tri_base = jnp.take(g.base, jnp.maximum(k, 0))
+        idx_best = jnp.where(better, tri_base + j_loc, idx_best)
+        t_best = jnp.where(better, t_loc, t_best)
+        tn, k = _next_candidate(g, origin, inv_dir, tn, k, t_best)
+        return tn, k, t_best, idx_best
+
+    _, _, t_best, idx_best = lax.while_loop(
+        cond, body, (tn0, k0, t_best, idx_best)
+    )
+    return t_best, idx_best
+
+
+def nearest_triangle_instanced(
+    pack: InstancedPack, origin, direction, t_max, chunk: int
+):
+    """Nearest-hit query with the accel backend contract: returns
+    (t, tri_idx) with t = inf / idx = -1 on miss; indices are global
+    flattened triangle rows (instances contiguous in build order)."""
+    N = origin.shape[0]
+    t_best = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    idx_best = jnp.full((N,), -1, jnp.int32)
+    for g in pack.groups:  # static: a handful of prototype meshes
+        t_best, idx_best = _group_query(
+            g, origin, direction, t_best, idx_best, chunk
+        )
+    return jnp.where(idx_best < 0, jnp.inf, t_best), idx_best

@@ -34,6 +34,7 @@ __all__ = [
     "Scene",
     "ScenePack",
     "AUTO_BVH_THRESHOLD",
+    "AUTO_INSTANCED_THRESHOLD",
 ]
 
 #: triangle count above which ``accel="auto"`` switches from the chunked
@@ -44,6 +45,13 @@ __all__ = [
 #: gather-bound cost puts the crossover near ~0.9M triangles, so the
 #: default switches conservatively at half that.
 AUTO_BVH_THRESHOLD = 448 * 1024
+
+#: flattened triangle count above which ``accel="auto"`` prefers the
+#: two-level instanced traversal (ops.instanced) when the scene actually
+#: instances its meshes (flattened >= 2x unique prototype triangles).
+#: Below it the plain brute scan is already cheap enough that the box
+#: pass + while_loop overhead is not worth carrying.
+AUTO_INSTANCED_THRESHOLD = 8 * 1024
 
 
 class Transform:
@@ -272,6 +280,8 @@ class ScenePack:
     woop: "object | None" = None
     # optional VPU Moeller-Trumbore kernel tables (ops.intersect_mt_pallas)
     mt: "object | None" = None
+    # optional two-level instanced traversal tables (ops.instanced)
+    instanced: "object | None" = None
 
 
 class Scene:
@@ -294,17 +304,27 @@ class Scene:
     ) -> None:
         if not isinstance(materials, MaterialStore):
             materials = MaterialStore.pack(list(materials.values()))
-        if accel not in ("auto", "brute", "bvh", "woop", "mt"):
+        if accel not in ("auto", "brute", "bvh", "woop", "mt", "instanced"):
             raise ValueError(
-                "accel must be 'auto', 'brute', 'bvh', 'woop' or 'mt'"
+                "accel must be 'auto', 'brute', 'bvh', 'woop', 'mt' or "
+                "'instanced'"
             )
         if accel == "auto":
-            # crossover measured/extrapolated on the bench chip (PERF.md
-            # round-2 experiment log): the chunked brute scan beats the
-            # threaded BVH below ~AUTO_BVH_THRESHOLD triangles, above it
-            # the BVH's O(log T) work reduction wins despite gather costs
+            # Measured on the bench chip (PERF.md round-2 experiment log):
+            # the chunked brute scan beats the threaded BVH up to very
+            # large scenes, but on *instanced* scenes (detector arrays)
+            # the two-level traversal scans only each lane's candidate
+            # prototypes — pick it once instancing meaningfully shrinks
+            # the per-candidate work.
             n_tri = sum(len(i.mesh.indices) for i in instances)
-            accel = "brute" if n_tri < AUTO_BVH_THRESHOLD else "bvh"
+            unique = sum(
+                len(m.indices)
+                for m in {id(i.mesh): i.mesh for i in instances}.values()
+            )
+            if n_tri >= AUTO_INSTANCED_THRESHOLD and n_tri >= 2 * unique:
+                accel = "instanced"
+            else:
+                accel = "brute" if n_tri < AUTO_BVH_THRESHOLD else "bvh"
         self.instances = instances
         self.materials = materials
         self.medium = medium
@@ -382,6 +402,12 @@ class Scene:
 
             mt_pack = pack_mt(catn(w_v0), catn(w_e1), catn(w_e2))
 
+        instanced_pack = None
+        if self.accel == "instanced":
+            from .ops.instanced import pack_instanced
+
+            instanced_pack = pack_instanced(self.instances, w2o)
+
         bvh_pack = None
         if self.accel == "bvh":
             from .native import build_bvh
@@ -431,4 +457,5 @@ class Scene:
             bvh=bvh_pack,
             woop=woop_pack,
             mt=mt_pack,
+            instanced=instanced_pack,
         )

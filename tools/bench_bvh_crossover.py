@@ -122,12 +122,15 @@ def main():
     key = jax.random.PRNGKey(7)
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}, rays per call: {args.rays}")
-    print("| modules | tris | brute ms | bvh ms (leaf) | winner |")
-    print("|---|---|---|---|---|")
+    print("| modules | tris | brute ms | instanced ms | bvh ms (leaf) | winner |")
+    print("|---|---|---|---|---|---|")
     for n_side in args.sides:
         scene_b, extent = build_array_scene(n_side, "brute")
         tb, n_tri = bench_backend(scene_b, extent, args.rays, key)
         del scene_b
+        scene_i, _ = build_array_scene(n_side, "instanced")
+        ti, _ = bench_backend(scene_i, extent, args.rays, key)
+        del scene_i
         bvh_times = []
         for leaf in args.leaf:
             scene_v, _ = build_array_scene(n_side, "bvh", leaf_size=leaf)
@@ -135,10 +138,12 @@ def main():
             bvh_times.append((leaf, tv))
             del scene_v
         best_leaf, best_tv = min(bvh_times, key=lambda x: x[1])
-        winner = "brute" if tb < best_tv else f"bvh(leaf={best_leaf})"
+        times = {"brute": tb, "instanced": ti, f"bvh(leaf={best_leaf})": best_tv}
+        winner = min(times, key=times.get)
         bvh_str = ", ".join(f"{tv*1e3:.0f} (l{leaf})" for leaf, tv in bvh_times)
         print(
-            f"| {n_side**3} | {n_tri} | {tb*1e3:.0f} | {bvh_str} | {winner} |",
+            f"| {n_side**3} | {n_tri} | {tb*1e3:.0f} | {ti*1e3:.0f} "
+            f"| {bvh_str} | {winner} |",
             flush=True,
         )
 
