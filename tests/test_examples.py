@@ -19,6 +19,7 @@ CASES = [
     ("05_inverse_problem.py", "recovered absorption scale"),
     ("06_timing_calibration.py", "recovered group-velocity scale"),
     ("07_scene_render.py", "pixels hit geometry"),
+    ("08_detector_array.py", "per-module light curves recorded"),
 ]
 
 
