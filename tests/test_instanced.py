@@ -179,3 +179,60 @@ def test_gradient_through_instanced():
     lm = loss(jnp.array([-eps, 0.0, 0.0], jnp.float32))
     fd = (lp - lm) / (2 * eps)
     assert np.isclose(float(g[0]), float(fd), rtol=5e-2, atol=1e-1)
+
+
+def test_auto_bvh_fallback_for_huge_noninstanced(monkeypatch):
+    """auto must still route huge NON-instanced scenes to the BVH (the
+    instanced path would brute-scan the giant prototype per candidate)."""
+    import theia_tpu.scene as scene_mod
+
+    monkeypatch.setattr(scene_mod, "AUTO_BVH_THRESHOLD", 1000)
+    mat = Material("m", None, None, flags="B")
+    store = MaterialStore.pack([mat])
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})  # 1280 tris
+    one = [meshes.createInstance("sphere", "m", Transform.TRS(scale=0.4))]
+    scene = Scene(one, store, medium=None)
+    assert scene.accel == "bvh" and scene.pack.bvh is not None
+    # instanced copies of the same too-big prototype also fall through
+    two = one + [
+        meshes.createInstance(
+            "sphere", "m", Transform.TRS(scale=0.4, translate=(2.0, 0, 0))
+        )
+    ]
+    monkeypatch.setattr(scene_mod, "AUTO_INSTANCED_THRESHOLD", 100)
+    scene2 = Scene(two, store, medium=None)
+    assert scene2.accel == "bvh"
+
+
+@pytest.mark.parametrize("scale", [0.02, 50.0])
+def test_matches_bruteforce_extreme_scales(scale):
+    """The scale-normalized prototype keeps the object-space degeneracy
+    epsilon equivalent to the brute scan's world-space one even for
+    instances far from unit scale."""
+    from theia_tpu.accel import _nearest, _nearest_triangle
+
+    mat = Material("m", None, None, flags="B")
+    store = MaterialStore.pack([mat])
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+    insts = [
+        meshes.createInstance(
+            "sphere",
+            "m",
+            Transform.TRS(
+                scale=0.4 * scale, translate=(2.0 * scale * i, 0.0, 0.0)
+            ),
+        )
+        for i in range(3)
+    ]
+    scene = Scene(insts, store, medium=None, accel="instanced")
+    o, d = random_rays(4096, lo=-2.0 * scale, hi=6.0 * scale, seed=11)
+
+    t_b, i_b = _nearest_triangle(scene.pack, o, d, jnp.inf, 256)
+    t_i, i_i = _nearest(scene.pack, o, d, jnp.inf, 256)
+    t_b, i_b, t_i, i_i = map(np.asarray, (t_b, i_b, t_i, i_i))
+    hit_b = i_b >= 0
+    assert hit_b.any()
+    assert (hit_b == (i_i >= 0)).mean() > 0.999
+    both = hit_b & (i_i >= 0)
+    assert np.allclose(t_i[both], t_b[both], rtol=1e-4, atol=1e-5 * scale)
+    assert (i_i[both] == i_b[both]).mean() > 0.995

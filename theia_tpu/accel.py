@@ -248,9 +248,14 @@ def intersect_scene(
     qy = tz * we1[:, 0] - tx * we1[:, 2]
     qz = tx * we1[:, 1] - ty * we1[:, 0]
     b2 = (direction[:, 0] * qx + direction[:, 1] * qy + direction[:, 2] * qz) * inv
-    # differentiable winner t (equals the selected backend t up to fp)
+    # differentiable winner t (equals the selected backend t up to fp);
+    # if the world-space det underflows the degeneracy cutoff for a hit
+    # the backend validly selected (possible for extreme grazing hits —
+    # the instanced backend tests in scale-normalized object space whose
+    # det can sit on the other side of the absolute epsilon), fall back
+    # to the backend's own t instead of emitting a corrupted t = 0
     t_win = (we2[:, 0] * qx + we2[:, 1] * qy + we2[:, 2] * qz) * inv
-    t = jnp.where(valid, t_win, jnp.inf)
+    t = jnp.where(valid, jnp.where(inv != 0.0, t_win, t_sel), jnp.inf)
 
     bb1, bb2 = b1[:, None], b2[:, None]
     obj_pos = o_v0 + bb1 * o_e1 + bb2 * o_e2

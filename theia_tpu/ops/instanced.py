@@ -50,14 +50,23 @@ BOX_CHUNK = 64
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class GroupPack:
-    """One prototype mesh + its K placed instances."""
+    """One prototype mesh + its K placed instances.
 
-    v0: jax.Array  # f32 (T, 3) object-space triangle soup
+    The prototype lives in *scale-normalized* object space: vertices and
+    the world-to-object rows are both multiplied by the group's median
+    instance scale, so transformed rays and triangles sit at world
+    magnitude and the Moeller-Trumbore degeneracy epsilon (an absolute
+    |det| cutoff) means the same thing it does for the world-space brute
+    scan. Ray parameters are unaffected (a uniform scale of both cancels
+    in t). ``box`` holds the instance AABBs pre-packed as six
+    (n_chunks, BOX_CHUNK) SoA component arrays (lo xyz, hi xyz) with
+    inverted-box padding."""
+
+    v0: jax.Array  # f32 (T, 3) scale-normalized object triangle soup
     e1: jax.Array
     e2: jax.Array
-    w2o: jax.Array  # f32 (K, 12) world-to-object rows (3x4)
-    blo: jax.Array  # f32 (K, 3) world instance AABB lower corners
-    bhi: jax.Array  # f32 (K, 3) upper corners
+    w2o: jax.Array  # f32 (K, 12) scale-normalized world-to-object rows
+    box: tuple  # 6x f32 (n_chunks, BOX_CHUNK): lox, loy, loz, hix, hiy, hiz
     base: jax.Array  # i32 (K,) global triangle row base per instance
 
 
@@ -73,7 +82,7 @@ def pack_instanced(instances, w2o_rows) -> InstancedPack:
 
     ``instances``: the Scene's MeshInstance list (build order defines the
     global triangle row layout: each instance's triangles contiguous).
-    ``w2o_rows``: (K, 12) world-to-object rows in the same order.
+    ``w2o_rows``: (K, 3, 4) world-to-object transforms in the same order.
     """
     groups: dict[int, dict] = {}
     base = 0
@@ -94,44 +103,55 @@ def pack_instanced(instances, w2o_rows) -> InstancedPack:
             )
         g = groups[gid]
         bb = inst.bbox
-        g["w2o"].append(np.asarray(w2o_rows[k], np.float32))
+        g["w2o"].append(np.asarray(w2o_rows[k], np.float64).reshape(3, 4))
         g["blo"].append(np.asarray(bb.lowerCorner, np.float32))
         g["bhi"].append(np.asarray(bb.upperCorner, np.float32))
         g["base"].append(base)
         base += len(inst.mesh.indices)
 
-    packed = tuple(
-        GroupPack(
-            v0=jnp.asarray(g["v0"]),
-            e1=jnp.asarray(g["e1"]),
-            e2=jnp.asarray(g["e2"]),
-            w2o=jnp.asarray(np.stack(g["w2o"]).reshape(len(g["base"]), 12)),
-            blo=jnp.asarray(np.stack(g["blo"])),
-            bhi=jnp.asarray(np.stack(g["bhi"])),
-            base=jnp.asarray(np.asarray(g["base"], np.int32)),
+    packed = []
+    for g in groups.values():
+        w2o = np.stack(g["w2o"])  # (K, 3, 4) f64
+        # median instance scale: |det(w2o_lin)|^(-1/3) is the world size
+        # of a unit object length under instance k
+        det = np.abs(np.linalg.det(w2o[:, :, :3]))
+        scale = float(np.median(np.where(det > 0, det, 1.0) ** (-1.0 / 3.0)))
+        packed.append(
+            GroupPack(
+                v0=jnp.asarray(g["v0"] * scale),
+                e1=jnp.asarray(g["e1"] * scale),
+                e2=jnp.asarray(g["e2"] * scale),
+                w2o=jnp.asarray(
+                    (w2o * scale).reshape(len(g["base"]), 12), jnp.float32
+                ),
+                box=_pack_boxes(np.stack(g["blo"]), np.stack(g["bhi"])),
+                base=jnp.asarray(np.asarray(g["base"], np.int32)),
+            )
         )
-        for g in groups.values()
+    return InstancedPack(groups=tuple(packed), n_boxes=len(instances))
+
+
+def _pack_boxes(blo: "np.ndarray", bhi: "np.ndarray") -> tuple:
+    """(K, 3) lo/hi corners -> six (n_chunks, BOX_CHUNK) SoA component
+    arrays; padded slots are inverted far boxes the slab scan rejects."""
+    K = blo.shape[0]
+    n_chunks = -(-K // BOX_CHUNK)
+    pad = n_chunks * BOX_CHUNK - K
+    blo = np.pad(blo, ((0, pad), (0, 0)), constant_values=3.0e38)
+    bhi = np.pad(bhi, ((0, pad), (0, 0)), constant_values=-3.0e38)
+    return tuple(
+        jnp.asarray(a[:, i].reshape(n_chunks, BOX_CHUNK))
+        for a in (blo, bhi)
+        for i in range(3)
     )
-    return InstancedPack(groups=packed, n_boxes=len(instances))
 
 
 def _next_candidate(g: GroupPack, origin, inv_dir, last_tn, last_k, t_best):
     """Per lane: the nearest instance box strictly after the ``(last_tn,
     last_k)`` cursor whose entry is closer than the current best hit.
     Returns (tn, k); (inf, -1) when exhausted."""
-    K = g.blo.shape[0]
-    n_chunks = -(-K // BOX_CHUNK)
-    pad = n_chunks * BOX_CHUNK - K
-
-    def comp(a, fill):
-        """(K, 3) -> three (n_chunks, C) component arrays (SoA: the box
-        axis rides the 128-wide vector lanes, like the triangle scan)."""
-        a = jnp.pad(a, ((0, pad), (0, 0)), constant_values=fill)
-        return tuple(a[:, i].reshape(n_chunks, BOX_CHUNK) for i in range(3))
-
-    # padded boxes are inverted far boxes -> rejected below
-    lox, loy, loz = comp(g.blo, 3.0e38)
-    hix, hiy, hiz = comp(g.bhi, -3.0e38)
+    lox, loy, loz, hix, hiy, hiz = g.box  # pre-packed SoA, padded
+    n_chunks = lox.shape[0]
 
     ox, oy, oz = (origin[:, i : i + 1] for i in range(3))
     ivx, ivy, ivz = (inv_dir[:, i : i + 1] for i in range(3))

@@ -317,11 +317,17 @@ class Scene:
             # prototypes — pick it once instancing meaningfully shrinks
             # the per-candidate work.
             n_tri = sum(len(i.mesh.indices) for i in instances)
-            unique = sum(
-                len(m.indices)
-                for m in {id(i.mesh): i.mesh for i in instances}.values()
-            )
-            if n_tri >= AUTO_INSTANCED_THRESHOLD and n_tri >= 2 * unique:
+            protos = {id(i.mesh): i.mesh for i in instances}.values()
+            unique = sum(len(m.indices) for m in protos)
+            max_proto = max((len(m.indices) for m in protos), default=0)
+            # instanced scans one *prototype* per candidate instance, so
+            # it only helps while the largest prototype itself stays in
+            # the brute-friendly regime
+            if (
+                n_tri >= AUTO_INSTANCED_THRESHOLD
+                and n_tri >= 2 * unique
+                and max_proto < AUTO_BVH_THRESHOLD
+            ):
                 accel = "instanced"
             else:
                 accel = "brute" if n_tri < AUTO_BVH_THRESHOLD else "bvh"
