@@ -236,3 +236,23 @@ def test_matches_bruteforce_extreme_scales(scale):
     both = hit_b & (i_i >= 0)
     assert np.allclose(t_i[both], t_b[both], rtol=1e-4, atol=1e-5 * scale)
     assert (i_i[both] == i_b[both]).mean() > 0.995
+
+
+def test_any_hit_occlusion_matches_nearest():
+    """is_visible's any-hit fast path must agree with the brute
+    nearest-hit visibility on the same scene."""
+    from theia_tpu.accel import is_visible
+    from theia_tpu.ops.instanced import occluded_instanced
+
+    scene_i = array_scene(3, "instanced")
+    scene_b = array_scene(3, "brute")
+    ks = jax.random.split(jax.random.PRNGKey(21), 2)
+    n = 4096
+    obs = jax.random.uniform(ks[0], (n, 3), jnp.float32, -1.0, 5.0)
+    tgt = jax.random.uniform(ks[1], (n, 3), jnp.float32, -1.0, 5.0)
+
+    vis_i = np.asarray(is_visible(scene_i.pack, obs, tgt))
+    vis_b = np.asarray(is_visible(scene_b.pack, obs, tgt))
+    assert vis_i.any() and (~vis_i).any()
+    # identical up to rays exactly grazing shared edges
+    assert (vis_i == vis_b).mean() > 0.999

@@ -327,11 +327,16 @@ def is_visible(
     direction = d / dist[:, None]
     # boolean query: selection only, never differentiated — stop_gradient
     # keeps while_loop backends (bvh, instanced) jax.grad-compatible
-    t, tri = _nearest(
-        pack,
-        lax.stop_gradient(observer),
-        lax.stop_gradient(direction),
-        lax.stop_gradient(dist),
-        chunk,
-    )
+    observer = lax.stop_gradient(observer)
+    direction = lax.stop_gradient(direction)
+    dist = lax.stop_gradient(dist)
+    if pack.instanced is not None:
+        # occlusion needs no nearest-hit ordering: the any-hit query lets
+        # each lane stop at its first blocking candidate
+        from .ops.instanced import occluded_instanced
+
+        return ~occluded_instanced(
+            pack.instanced, observer, direction, dist, chunk
+        )
+    t, tri = _nearest(pack, observer, direction, dist, chunk)
     return tri < 0

@@ -41,7 +41,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["GroupPack", "InstancedPack", "pack_instanced", "nearest_triangle_instanced"]
+__all__ = [
+    "GroupPack",
+    "InstancedPack",
+    "pack_instanced",
+    "nearest_triangle_instanced",
+    "occluded_instanced",
+]
 
 #: instance AABBs per fused scan chunk ((N, C) intermediates)
 BOX_CHUNK = 64
@@ -209,13 +215,25 @@ def _next_candidate(g: GroupPack, origin, inv_dir, last_tn, last_k, t_best):
     return tn, jnp.where(jnp.isfinite(tn), k, -1)
 
 
-def _group_query(g: GroupPack, origin, direction, t_best, idx_best, chunk):
+def _group_query(
+    g: GroupPack, origin, direction, t_best, idx_best, chunk, any_hit=False
+):
     from ..accel import nearest_in_soup
 
     inv_dir = 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction, 1e-12)
     neg_inf = jnp.full(origin.shape[:1], -jnp.inf, jnp.float32)
+
+    def clamp(t_best, idx_best):
+        # any-hit mode: a lane with a hit is DONE — a -inf bound makes
+        # every remaining box entry fail `tn < t_best`, so the lane stops
+        # contributing loop iterations (occlusion needs no ordering)
+        if any_hit:
+            return jnp.where(idx_best >= 0, -jnp.inf, t_best)
+        return t_best
+
     tn0, k0 = _next_candidate(
-        g, origin, inv_dir, neg_inf, jnp.full_like(idx_best, -1), t_best
+        g, origin, inv_dir, neg_inf, jnp.full_like(idx_best, -1),
+        clamp(t_best, idx_best),
     )
 
     def cond(carry):
@@ -237,13 +255,31 @@ def _group_query(g: GroupPack, origin, direction, t_best, idx_best, chunk):
         tri_base = jnp.take(g.base, jnp.maximum(k, 0))
         idx_best = jnp.where(better, tri_base + j_loc, idx_best)
         t_best = jnp.where(better, t_loc, t_best)
-        tn, k = _next_candidate(g, origin, inv_dir, tn, k, t_best)
+        tn, k = _next_candidate(
+            g, origin, inv_dir, tn, k, clamp(t_best, idx_best)
+        )
         return tn, k, t_best, idx_best
 
     _, _, t_best, idx_best = lax.while_loop(
         cond, body, (tn0, k0, t_best, idx_best)
     )
     return t_best, idx_best
+
+
+def occluded_instanced(
+    pack: InstancedPack, origin, direction, t_max, chunk: int
+):
+    """Any-hit occlusion query: True where something blocks the ray
+    before ``t_max``. Cheaper than the nearest query — each lane stops
+    at its FIRST hit instead of ordering all candidates."""
+    N = origin.shape[0]
+    t_best = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    idx_best = jnp.full((N,), -1, jnp.int32)
+    for g in pack.groups:
+        t_best, idx_best = _group_query(
+            g, origin, direction, t_best, idx_best, chunk, any_hit=True
+        )
+    return idx_best >= 0
 
 
 def nearest_triangle_instanced(
