@@ -135,3 +135,40 @@ def test_converge_histogram_task():
     assert task.result is not None and task.result.sum() > 0
     if task.converged:
         assert task.error <= task._atol + task._rtol * task._totalMean
+
+
+def test_checkpoint_resume_bitexact(tmp_path):
+    """saveCheckpoint/loadCheckpoint: a run interrupted after 2 batches
+    and resumed in a FRESH process-equivalent pipeline must finish with
+    exactly the uninterrupted run's estimator state and RNG cursor
+    (SURVEY aux 5.4 — RNG offsets + Welford accumulators are the only
+    non-reproducible state)."""
+    from theia_tpu.pipeline import loadCheckpoint, saveCheckpoint
+
+    def batches(pipe, task, n):
+        for _ in range(n):
+            task.processBatch(pipe.run())
+
+    # uninterrupted reference: 4 batches
+    pipe_ref = Pipeline(build())
+    task_ref = ConvergeHistogramTask(maxBatchCount=50)
+    batches(pipe_ref, task_ref, 4)
+
+    # interrupted: 2 batches, checkpoint, rebuild, resume, 2 more
+    pipe_a = Pipeline(build())
+    task_a = ConvergeHistogramTask(maxBatchCount=50)
+    batches(pipe_a, task_a, 2)
+    ckpt = tmp_path / "run.npz"
+    saveCheckpoint(ckpt, pipe_a, task_a)
+
+    pipe_b = Pipeline(build())  # fresh user-code rebuild
+    task_b = ConvergeHistogramTask(maxBatchCount=50)
+    loadCheckpoint(ckpt, pipe_b, task_b)
+    assert pipe_b.tracer.rng.offset == pipe_a.tracer.rng.offset
+    assert task_b.totalBatches == 2
+    batches(pipe_b, task_b, 2)
+
+    assert task_b.totalBatches == task_ref.totalBatches == 4
+    np.testing.assert_array_equal(task_b.result, task_ref.result)
+    assert task_b.error == task_ref.error
+    assert pipe_b.tracer.rng.offset == pipe_ref.tracer.rng.offset

@@ -28,6 +28,8 @@ __all__ = [
     "runPipeline",
     "DynamicTask",
     "ConvergeHistogramTask",
+    "saveCheckpoint",
+    "loadCheckpoint",
 ]
 
 
@@ -271,6 +273,24 @@ class ConvergeHistogramTask(DynamicTask):
         if self._callback is not None:
             self._callback(self)
 
+    def state_dict(self) -> dict:
+        """Estimator state for checkpoint/resume (see saveCheckpoint)."""
+        return {
+            "totalBatches": self._totalBatches,
+            "converged": self._converged,
+            "result": None if self._result is None else self._result.copy(),
+            "totalMean": self._totalMean,
+            "sumSquareErr": self._sumSquareErr,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self._totalBatches = int(state["totalBatches"])
+        self._converged = bool(state["converged"])
+        r = state["result"]
+        self._result = None if r is None else np.asarray(r, np.float64)
+        self._totalMean = float(state["totalMean"])
+        self._sumSquareErr = float(state["sumSquareErr"])
+
     def processBatch(self, result) -> int:
         hist = np.asarray(result[0], np.float64)
         self._totalBatches += 1
@@ -297,3 +317,69 @@ class ConvergeHistogramTask(DynamicTask):
                 f"before reaching maxBatchCount={self._maxBatchCount}!"
             )
         return n
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+
+def _rng_stages(pipeline: Pipeline):
+    """(name, rng) pairs with host-side cursors: the tracer's generator
+    (not a named stage) plus any stage exposing offset/advance."""
+    out = [("_tracer_rng", pipeline.tracer.rng)]
+    for name, stage in pipeline.stages.items():
+        if hasattr(stage, "offset") and hasattr(stage, "advance"):
+            out.append((name, stage))
+    return out
+
+
+def saveCheckpoint(path, pipeline: Pipeline, task=None) -> None:
+    """Persist a long-running simulation's *stateful* pieces (SURVEY §5.4).
+
+    Everything else — scene, materials, component params — is
+    reproducible host code the user re-runs on resume; what cannot be
+    reproduced is (a) how far each RNG stage has advanced and (b) the
+    running estimator of a dynamic task. Both go into one ``.npz``:
+
+    * per-stage RNG cursors (``offset``/``autoAdvance`` of any stage
+      exposing them, e.g. PhiloxRNG / SobolQRNG),
+    * ``task.state_dict()`` when a task is given (e.g.
+      ConvergeHistogramTask's Welford accumulators).
+    """
+    blobs: dict = {}
+    for name, stage in _rng_stages(pipeline):
+        blobs[f"rng__{name}__offset"] = np.int64(stage.offset)
+        blobs[f"rng__{name}__autoAdvance"] = np.int64(
+            getattr(stage, "autoAdvance", 0)
+        )
+    if task is not None:
+        state = task.state_dict()
+        for k, v in state.items():
+            if v is None:
+                blobs[f"task__none__{k}"] = np.int8(0)
+            else:
+                blobs[f"task__{k}"] = np.asarray(v)
+    np.savez(path, **blobs)
+
+
+def loadCheckpoint(path, pipeline: Pipeline, task=None) -> None:
+    """Restore what :func:`saveCheckpoint` saved into an already-built
+    pipeline (and optional task); the next ``run()`` continues exactly
+    where the checkpointed process stopped."""
+    with np.load(path, allow_pickle=False) as data:
+        for name, stage in _rng_stages(pipeline):
+            key = f"rng__{name}__offset"
+            if key in data:
+                stage.offset = int(data[key])
+                stage.autoAdvance = int(data[f"rng__{name}__autoAdvance"])
+        if task is not None:
+            state = {}
+            for k in data.files:
+                if k.startswith("task__none__"):
+                    state[k[len("task__none__"):]] = None
+                elif k.startswith("task__"):
+                    v = data[k]
+                    state[k[len("task__"):]] = v if v.ndim else v.item()
+            if state:
+                task.load_state_dict(state)
