@@ -38,6 +38,9 @@ from .polarization import rotation_coeffs, rotation_mueller
 from .random import RNGState
 
 __all__ = [
+    "CameraRayItem",
+    "PolarizedCameraRayItem",
+    "CameraRaySampler",
     "CameraRay",
     "CameraSample",
     "Camera",
@@ -841,3 +844,16 @@ class HostCamera(Camera):
             ),
             rng,
         )
+
+
+from .items import CameraRayItem, PolarizedCameraRayItem  # noqa: E402
+
+
+def __getattr__(name):
+    # the sampler lives in theia_tpu.testing (which imports this module);
+    # resolve lazily to mirror the reference's camera.CameraRaySampler
+    if name == "CameraRaySampler":
+        from .testing import CameraRaySampler
+
+        return CameraRaySampler
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

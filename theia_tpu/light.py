@@ -23,6 +23,10 @@ from .ops.sampling import TWO_PI, sample_unit_sphere, spherical_to_cartesian
 from .random import RNGState
 
 __all__ = [
+    "WavelengthSampleItem",
+    "LightSampleItem",
+    "PolarizedLightSampleItem",
+    "LightSampler",
     "WavelengthSource",
     "ConstWavelengthSource",
     "UniformWavelengthSource",
@@ -1178,3 +1182,20 @@ class StreamingHostLightSource(HostLightSource):
     def params(self):
         self.update()
         return super().params()
+
+
+from .items import (  # noqa: E402
+    LightSampleItem,
+    PolarizedLightSampleItem,
+    WavelengthSampleItem,
+)
+
+
+def __getattr__(name):
+    # the sampler lives in theia_tpu.testing (which imports this module);
+    # resolve lazily to mirror the reference's light.LightSampler
+    if name == "LightSampler":
+        from .testing import LightSampler
+
+        return LightSampler
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

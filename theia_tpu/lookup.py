@@ -33,6 +33,9 @@ __all__ = [
     "sample_table1d",
     "sample_table2d",
     "eval_table",
+    "Table",
+    "getTableSize",
+    "uploadTables",
 ]
 
 
@@ -204,3 +207,65 @@ def eval_table(f, *axes_spec) -> np.ndarray:
 sampleTable1D = sample_table1d
 sampleTable2D = sample_table2d
 evalTable = eval_table
+
+
+# ---------------------------------------------------------------------------
+# reference-style table handles
+# ---------------------------------------------------------------------------
+
+
+class Table:
+    """Host-side equidistant lookup table (reference: src/theia/lookup.py:
+    30-81). Wraps the sampled values; :meth:`upload` returns the device
+    array consumed by :func:`lookup` / :func:`lookup2d`. ``nbytes``
+    mirrors the reference's GPU layout (int32 shape header + f32 data)."""
+
+    ALIGNMENT = 4
+
+    def __init__(self, data) -> None:
+        self._data = np.ascontiguousarray(data, dtype=np.float32)
+
+    @property
+    def data(self) -> np.ndarray:
+        return self._data
+
+    @property
+    def shape(self) -> tuple:
+        return self._data.shape
+
+    @property
+    def nbytes(self) -> int:
+        return self._data.nbytes + 4 * self._data.ndim
+
+    def upload(self) -> jax.Array:
+        """Device copy of the table."""
+        return jnp.asarray(self._data)
+
+
+def getTableSize(a) -> int:
+    """Bytes needed to store a table of the given shape (array, shape
+    tuple, or None -> 0); int32 header + f32 data like the reference
+    (src/theia/lookup.py:84-97 — which sums the dims instead of taking
+    their product, agreeing only for 1D tables; this version is exact
+    for any rank)."""
+    if a is None:
+        return 0
+    shape = a if isinstance(a, tuple) else np.shape(a)
+    if len(shape) == 0:
+        raise RuntimeError("table cannot have zero shape!")
+    return 4 * (len(shape) + int(np.prod(shape)))
+
+
+def uploadTables(data: list) -> tuple[tuple[jax.Array, jax.Array], list[int]]:
+    """Pack 1D tables into one device allocation and return per-table
+    handles (reference: src/theia/lookup.py:99-133 returns device
+    *addresses*; the TPU analogue is the (values, sizes) packed pair of
+    :func:`theia_tpu.material.lookup_packed` plus integer handles)."""
+    arrs = [np.ascontiguousarray(d, np.float32).reshape(-1) for d in data]
+    lmax = max((len(a) for a in arrs), default=1)
+    values = np.zeros((len(arrs), lmax), np.float32)
+    sizes = np.zeros(len(arrs), np.int32)
+    for i, a in enumerate(arrs):
+        values[i, : len(a)] = a
+        sizes[i] = len(a)
+    return (jnp.asarray(values), jnp.asarray(sizes)), list(range(len(arrs)))

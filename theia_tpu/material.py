@@ -49,6 +49,7 @@ __all__ = [
     "lookup_packed",
     "loadMaterials",
     "saveMaterials",
+    "serializeMedium",
     "MediumModel",
     "SellmeierEquation",
     "BK7Model",
@@ -922,3 +923,9 @@ class KokhanovskyOceanWaterPhaseMatrix:
         ct2 = np.square(cos_theta)
         e = self.xi * np.exp(-self.alpha * theta)
         return (2 * self.p90 * cos_theta + e) / (1.0 + self.p90 * ct2 + e)
+
+
+def serializeMedium(med) -> str | None:
+    """Medium -> its registry name for (de)serialization; names and None
+    pass through (reference: src/theia/material.py:775-779)."""
+    return med.name if isinstance(med, Medium) else med

@@ -40,6 +40,9 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "Key",
+    "Counter",
+    "RNGBufferSink",
     "philox4x32",
     "philox_uniform",
     "uniform_from_bits",
@@ -498,3 +501,105 @@ class SobolQRNG(RNG):
 
     def advance(self, n: int | None = None) -> None:
         self.offset += self.autoAdvance if n is None else n
+
+
+# ---------------------------------------------------------------------------
+# reference-style key/counter views and buffer sink
+# ---------------------------------------------------------------------------
+
+
+class Key:
+    """64-bit Philox key split into (lo, hi) 32-bit words
+    (reference: src/theia/random.py:200-211)."""
+
+    def __init__(self, value: int = 0) -> None:
+        self.value = value
+
+    @property
+    def value(self) -> int:
+        return self.lo + (self.hi << 32)
+
+    @value.setter
+    def value(self, value: int) -> None:
+        self.lo = value & 0xFFFFFFFF
+        self.hi = (value >> 32) & 0xFFFFFFFF
+
+    @property
+    def words(self) -> jax.Array:
+        """uint32[2] device view (what the tracers consume)."""
+        return jnp.array([self.lo, self.hi], jnp.uint32)
+
+
+class Counter:
+    """128-bit Philox counter as four 32-bit words
+    (reference: src/theia/random.py:214-224)."""
+
+    def __init__(self, value: int = 0) -> None:
+        self.value = value
+
+    @property
+    def value(self) -> int:
+        return sum(self.word[i] << (32 * i) for i in range(4))
+
+    @value.setter
+    def value(self, value: int) -> None:
+        self.word = [(value >> (32 * i)) & 0xFFFFFFFF for i in range(4)]
+
+    @property
+    def words(self) -> jax.Array:
+        """uint32[4] device view (what the tracers consume)."""
+        return jnp.array(self.word, jnp.uint32)
+
+
+class RNGBufferSink:
+    """Fills a (streams, samples[, sampleDim]) buffer from a generator,
+    consecutive numbers in consecutive streams
+    (reference: src/theia/random.py:44-199).
+
+    ``run()`` draws the next block and advances the generator; use
+    :attr:`buffer` for the last result."""
+
+    def __init__(
+        self,
+        generator: RNG,
+        streams: int,
+        samples: int,
+        *,
+        baseStream: int = 0,
+        baseCount: int = 0,
+        sampleDim: int = 1,
+    ) -> None:
+        if sampleDim not in (1, 2):
+            raise ValueError("only sampleDim of 1 or 2 supported")
+        self.generator = generator
+        self.streams = streams
+        self.samples = samples
+        self.baseStream = baseStream
+        self.baseCount = baseCount
+        self.sampleDim = sampleDim
+        self.buffer = None
+
+    def run(self):
+        import numpy as np
+
+        draws = self.samples * self.sampleDim
+        gen = self.generator
+        if hasattr(gen, "key_words"):
+            streams = (
+                jnp.arange(self.streams, dtype=jnp.uint32) + self.baseStream
+            )[:, None]
+            dims = jnp.arange(draws, dtype=jnp.uint32)[None, :] + jnp.uint32(
+                self.baseCount
+            )
+            out = philox_uniform(gen.key_words, gen.counter_words, streams, dims)
+        else:  # host-side / Sobol generators expose sample()
+            out = jnp.asarray(
+                np.asarray(gen.sample(self.baseStream + self.streams))[
+                    self.baseStream :, self.baseCount : self.baseCount + draws
+                ]
+            )
+        if self.sampleDim == 2:
+            out = out.reshape(self.streams, self.samples, 2)
+        self.buffer = np.asarray(out)
+        gen.advance(draws)
+        return self.buffer

@@ -32,11 +32,31 @@ __all__ = [
     "StoreTimeHitResponse",
     "StoreValueHitResponse",
     "SampleValueResponse",
+    "Estimator",
     "HistogramEstimator",
+    "HistogramReducer",
     "HostEstimator",
+    "createHitTimeQueue",
+    "createValueQueue",
     "replay_hits",
     "sample_camera_hits",
+    # reference per-record layouts (theia_tpu.items)
+    "PolarizedHitItem",
+    "HitTimeItem",
+    "HitTimeAndIdItem",
+    "ValueItem",
+    "CameraHitResponseItem",
+    "PolarizedCameraHitResponseItem",
 ]
+
+from .items import (  # noqa: E402  (re-export at reference locations)
+    CameraHitResponseItem,
+    HitTimeAndIdItem,
+    HitTimeItem,
+    PolarizedCameraHitResponseItem,
+    PolarizedHitItem,
+    ValueItem,
+)
 
 
 class ValueResponse(Component):
@@ -460,7 +480,57 @@ class StoreValueHitResponse(HitResponse):
         return state, rng
 
 
-class HistogramEstimator:
+class Estimator:
+    """Base class for estimators consuming a (value, time) queue into a
+    final output (reference: src/theia/response.py:1676-1718)."""
+
+    def __call__(self, queue):  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class HistogramReducer:
+    """Reduces a stack of partial histograms into one
+    (reference: src/theia/response.py:1065-1180, estimator.reduce.glsl —
+    there a workgroup reduction over subgroup partials; here a single
+    fused sum, differentiable and jit-safe)."""
+
+    def __init__(self, *, nBins: int = 100, normalization: float = 1.0):
+        self.nBins = nBins
+        self.normalization = normalization
+
+    def __call__(self, hists):
+        hists = jnp.asarray(hists).reshape(-1, self.nBins)
+        return jnp.sum(hists, axis=0) * self.normalization
+
+
+def createHitTimeQueue(capacity: int, *, objectId: bool = True) -> dict:
+    """Empty SoA queue with the layout StoreTimeHitResponse fills
+    (reference: src/theia/response.py:638-652; items.HitTimeAndIdItem /
+    items.HitTimeItem describe the per-record view)."""
+    q = dict(
+        cursor=jnp.int32(0),
+        overflow=jnp.int32(0),
+        time=jnp.zeros(capacity, jnp.float32),
+        valid=jnp.zeros(capacity, bool),
+    )
+    if objectId:
+        q["objectId"] = jnp.zeros(capacity, jnp.int32)
+    return q
+
+
+def createValueQueue(capacity: int) -> dict:
+    """Empty SoA queue with the layout StoreValueHitResponse fills and
+    estimators consume (reference: src/theia/response.py:434-441;
+    items.ValueItem describes the per-record view)."""
+    return dict(
+        cursor=jnp.int32(0),
+        value=jnp.zeros(capacity, jnp.float32),
+        time=jnp.zeros(capacity, jnp.float32),
+        valid=jnp.zeros(capacity, bool),
+    )
+
+
+class HistogramEstimator(Estimator):
     """Consumes a (value, time) queue into a time histogram
     (reference: src/theia/response.py:1721-1850, shader/estimator.hist.glsl)."""
 

@@ -24,6 +24,12 @@ from .target import Target, TargetGuide
 
 __all__ = [
     "WaterTestModel",
+    "LightSampler",
+    "BackwardLightSampler",
+    "CameraRaySampler",
+    "CameraDirectSampler",
+    "TargetSampler",
+    "TargetGuideSampler",
     "sampleLight",
     "sampleBackwardLight",
     "sampleCameraRay",
@@ -133,3 +139,167 @@ def sampleTargetGuide(guide: TargetGuide, observer, n: int, *, rng=None):
     obs = jnp.broadcast_to(jnp.asarray(observer, jnp.float32), (n, 3))
     smp, _ = guide.sample(guide.params(), obs, _state(n, rng))
     return _np(smp)
+
+
+# ---------------------------------------------------------------------------
+# reference-style sampler stages
+# ---------------------------------------------------------------------------
+
+
+def _as_result(obj) -> dict:
+    """Dataclass-of-arrays -> result dict with reference camelCase keys
+    (start_time -> startTime, pol_ref -> polRef, ...); None fields drop."""
+    import dataclasses
+
+    def camel(name: str) -> str:
+        head, *rest = name.split("_")
+        return head + "".join(w.capitalize() for w in rest)
+
+    return {
+        camel(f.name): np.asarray(getattr(obj, f.name))
+        for f in dataclasses.fields(obj)
+        if getattr(obj, f.name) is not None
+    }
+
+
+class _Sampler:
+    """Base of the reference-style sampler stages (reference:
+    src/theia/testing.py / LightSampler / CameraRaySampler): construct
+    with a component and a capacity, call :meth:`run` per batch — the
+    RNG advances between batches like a pipeline stage's would."""
+
+    #: draw budget reserved per item between batches
+    _DRAWS_PER_ITEM = 64
+
+    def __init__(self, capacity: int, rng=None) -> None:
+        self.capacity = capacity
+        self.rng = rng if rng is not None else PhiloxRNG(key=0xC0FFEE)
+
+    def _advance(self):
+        self.rng.advance(self._DRAWS_PER_ITEM)
+
+    def run(self) -> dict:
+        out = self._sample()
+        self._advance()
+        return out
+
+
+class LightSampler(_Sampler):
+    """Draws forward light samples (reference: theia.light.LightSampler);
+    ``run()`` returns the SoA dict described by items.LightSampleItem
+    (PolarizedLightSampleItem when the source emits polarized light)."""
+
+    def __init__(
+        self, source, capacity, *, wavelength=450.0, medium=None, rng=None
+    ):
+        super().__init__(capacity, rng)
+        self.source = source
+        self.wavelength = wavelength
+        self.medium = medium
+
+    def _sample(self):
+        ray = sampleLight(
+            self.source,
+            self.capacity,
+            wavelength=self.wavelength,
+            medium=self.medium,
+            rng=self.rng,
+        )
+        return _as_result(ray)
+
+
+class BackwardLightSampler(_Sampler):
+    """Backward light samples toward an observer
+    (reference: src/theia/testing.py BackwardLightSampler)."""
+
+    def __init__(
+        self,
+        source,
+        observer,
+        capacity,
+        *,
+        normal=None,
+        wavelength=450.0,
+        medium=None,
+        rng=None,
+    ):
+        super().__init__(capacity, rng)
+        self.source = source
+        self.observer = observer
+        self.normal = normal
+        self.wavelength = wavelength
+        self.medium = medium
+
+    def _sample(self):
+        ray = sampleBackwardLight(
+            self.source,
+            self.observer,
+            self.capacity,
+            normal=self.normal,
+            wavelength=self.wavelength,
+            medium=self.medium,
+            rng=self.rng,
+        )
+        return _as_result(ray)
+
+
+class CameraRaySampler(_Sampler):
+    """Camera ray samples (reference: theia.camera.CameraRaySampler);
+    the dict matches items.CameraRayItem's fields."""
+
+    def __init__(self, camera, capacity, *, wavelength=450.0, rng=None):
+        super().__init__(capacity, rng)
+        self.camera = camera
+        self.wavelength = wavelength
+
+    def _sample(self):
+        ray = sampleCameraRay(
+            self.camera, self.capacity, wavelength=self.wavelength, rng=self.rng
+        )
+        return _as_result(ray)
+
+
+class CameraDirectSampler(_Sampler):
+    """Camera points for direct lighting
+    (reference: src/theia/testing.py CameraDirectSampler)."""
+
+    def __init__(self, camera, capacity, *, wavelength=450.0, rng=None):
+        super().__init__(capacity, rng)
+        self.camera = camera
+        self.wavelength = wavelength
+
+    def _sample(self):
+        pt = sampleCameraPoint(
+            self.camera, self.capacity, wavelength=self.wavelength, rng=self.rng
+        )
+        return _as_result(pt)
+
+
+class TargetSampler(_Sampler):
+    """Target samples from an observer
+    (reference: src/theia/testing.py TargetSampler)."""
+
+    def __init__(self, target, observer, capacity, *, rng=None):
+        super().__init__(capacity, rng)
+        self.target = target
+        self.observer = observer
+
+    def _sample(self):
+        smp = sampleTarget(self.target, self.observer, self.capacity, rng=self.rng)
+        return _as_result(smp)
+
+
+class TargetGuideSampler(_Sampler):
+    """Guide-direction samples from an observer
+    (reference: src/theia/testing.py TargetGuideSampler)."""
+
+    def __init__(self, guide, observer, capacity, *, rng=None):
+        super().__init__(capacity, rng)
+        self.guide = guide
+        self.observer = observer
+
+    def _sample(self):
+        smp = sampleTargetGuide(
+            self.guide, self.observer, self.capacity, rng=self.rng
+        )
+        return _as_result(smp)

@@ -5,8 +5,12 @@ from .core import (
     HitItem,
     PropagateParams,
     RayState,
+    TracerBase,
     create_hit,
 )
+
+#: reference name for the tracer base class (ref trace.py `Tracer`)
+Tracer = TracerBase
 
 _LAZY = {
     "VolumeForwardTracer": ".volume",
@@ -18,6 +22,12 @@ _LAZY = {
     "VolumePhotonTracer": ".photon",
     "ScenePhotonTracer": ".photon",
     "BidirectionalPathTracer": ".bidirectional",
+    # event callbacks live in theia_tpu.callback; the reference exports
+    # them from its trace module (ref trace.py __all__), mirror that
+    "TraceEventCallback": "..callback",
+    "EmptyEventCallback": "..callback",
+    "EventStatisticCallback": "..callback",
+    "TrackRecordCallback": "..callback",
 }
 
 
