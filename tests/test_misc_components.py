@@ -278,3 +278,24 @@ def test_hit_recorder_overflow_counter():
         _warnings.simplefilter("always")
         rec.result({}, state)
     assert any("overflow" in str(x.message) for x in w)
+
+
+def test_profiling_helpers(tmp_path):
+    """profile_batch produces an XLA trace dump + sane timing stats."""
+    import os
+
+    from theia_tpu.profiling import batch_timings, profile_batch
+    from tests.test_pipeline import build
+
+    tracer = build(batch=1024)
+    stats = profile_batch(tracer, str(tmp_path / "prof"), runs=2)
+    assert stats["min"] > 0 and stats["bounces_per_s"] > 0
+    dumped = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(tmp_path / "prof")
+        for f in fs
+    ]
+    assert dumped, "no profiler output written"
+
+    t = batch_timings(tracer, runs=3, warmup=0)
+    assert t["min"] <= t["median"] <= t["max"]
