@@ -183,3 +183,54 @@ def test_sharded_polarized_scene_gradient():
     assert float(val) > 0
     assert np.asarray(np.abs(g_single)).max() > 0
     assert np.allclose(np.asarray(g_single), np.asarray(g_shard), rtol=2e-4, atol=1e-6 * np.abs(np.asarray(g_single)).max())
+
+
+def test_sharded_instanced_scene_equals_single():
+    """The instanced accel's lax.while_loop traversal must compile and
+    run inside shard_map with results identical to single-device."""
+    from theia_tpu.material import Material, MaterialStore
+    from theia_tpu.scene import MeshStore, Scene, Transform
+    from theia_tpu.testing import WaterTestModel
+    from theia_tpu.trace import SceneForwardTracer
+
+    def build_scene_tracer(batch):
+        medium = WaterTestModel(mu_a=0.0, mu_s=0.03, g=0.0).createMedium()
+        mat = Material("det", None, medium, flags="DB")
+        store = MaterialStore.pack([mat])
+        meshes = MeshStore({"sphere": "/root/reference/assets/sphere.stl"})
+        insts = [
+            meshes.createInstance(
+                "sphere",
+                "det",
+                Transform.TRS(scale=0.5, translate=(2.0 * i - 1, 2.0 * j - 1, 0.0)),
+            )
+            for i in range(2)
+            for j in range(2)
+        ]
+        scene = Scene(insts, store, medium="water_test", accel="instanced")
+        return SceneForwardTracer(
+            4 * 1024,
+            SphericalLightSource(
+                position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e6
+            ),
+            UniformWavelengthSource(lambdaRange=(400.0, 500.0)),
+            HistogramHitResponse(nBins=20, t0=0.0, binSize=4.0),
+            PhiloxRNG(key=0xFACE),
+            scene,
+            maxPathLength=4,
+            maxTime=80.0,
+        )
+
+    tracer = build_scene_tracer(4 * 1024)
+    single, _ = tracer.run(advance=False)
+
+    mesh = make_photon_mesh()
+    fn = shard_trace(tracer, mesh)
+    streams = sharded_streams(tracer.capacity, mesh)
+    resp_state, _ = fn(tracer.params(), tracer.rng.counter_words, streams)
+    sharded = tracer.response.result(tracer.params()["response"], resp_state)
+
+    assert np.asarray(single).sum() > 0
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), rtol=1e-5
+    )

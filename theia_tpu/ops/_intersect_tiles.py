@@ -144,3 +144,50 @@ def check_vmem_budget(kind: str, n_tri: int, table_bytes: int) -> None:
             f"(> {VMEM_TABLE_BUDGET / 2**20:.0f} MiB budget). Use "
             "accel='brute' or accel='bvh' for scenes this large."
         )
+
+
+def scene_bounds(v0, e1, e2, n_tri: int):
+    """Tight (lo, hi) bounds over the real triangles (numpy, pack time)."""
+    pts = np.concatenate(
+        [v0[:n_tri], v0[:n_tri] + e1[:n_tri], v0[:n_tri] + e2[:n_tri]]
+    )
+    return pts.min(0), pts.max(0)
+
+
+#: position cells per axis for the binning sort key
+BIN_CELLS = 4
+
+#: triangle count above which binning pays for its argsort (measured:
+#: binned loses at 1.3k tris, wins from ~10k up — PERF.md 'ray binning')
+BIN_THRESHOLD = 8192
+
+
+def octant_cell_key(lo, hi, origin, direction):
+    """Sort key grouping coherent rays: direction octant (3 bits), then
+    position cell on a per-axis grid over the scene bounds — rays in one
+    kernel block then share tight frusta and the per-tile AABB culling
+    fires (measured 2.3x vs the unsorted scan at 82k tris)."""
+    oct_ = (
+        (direction[:, 0] >= 0).astype(jnp.int32) * 4
+        + (direction[:, 1] >= 0).astype(jnp.int32) * 2
+        + (direction[:, 2] >= 0).astype(jnp.int32)
+    )
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip(
+        ((origin - lo) / span * BIN_CELLS).astype(jnp.int32), 0, BIN_CELLS - 1
+    )
+    cell = (q[:, 0] * BIN_CELLS + q[:, 1]) * BIN_CELLS + q[:, 2]
+    return oct_ * BIN_CELLS**3 + cell
+
+
+def run_binned(query, lo, hi, origin, direction, t_max):
+    """Sort the wavefront by :func:`octant_cell_key`, run ``query(o, d,
+    t_max) -> (t, idx)`` on the coherent order, scatter results back.
+    Bit-identical to the unsorted query (per-lane reductions are
+    order-free); only the block coherence changes."""
+    n = origin.shape[0]
+    order = jnp.argsort(octant_cell_key(lo, hi, origin, direction))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    t, idx = query(origin[order], direction[order], t_max[order])
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
+    return t[inv], idx[inv]

@@ -22,11 +22,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ._intersect_tiles import (
+    BIN_THRESHOLD,
     block_slab_hit,
     check_vmem_budget,
     pack_rays,
     rcp,
+    run_binned,
     safe,
+    scene_bounds,
     select_winner,
     tile_aabbs,
 )
@@ -74,15 +77,9 @@ def pack_mt(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> MTPack:
 
     check_vmem_budget("pallas", n_tri, tri.nbytes)
     aabb = tile_aabbs(v0, e1, e2, n_tri, n_tiles, BT)
-    pts = np.concatenate(
-        [v0[:n_tri], v0[:n_tri] + e1[:n_tri], v0[:n_tri] + e2[:n_tri]]
-    )
+    lo, hi = scene_bounds(v0, e1, e2, n_tri)
     return MTPack(
-        jnp.asarray(tri),
-        jnp.asarray(aabb),
-        jnp.asarray(pts.min(0)),
-        jnp.asarray(pts.max(0)),
-        n_tri,
+        jnp.asarray(tri), jnp.asarray(aabb), jnp.asarray(lo), jnp.asarray(hi), n_tri
     )
 
 
@@ -180,36 +177,6 @@ def _call(x, tmax, tri, aabb, n_tri, interpret=False):
     return jnp.where(idx < 0, jnp.inf, t), idx
 
 
-#: position cells per axis for the binning sort key
-_BIN_CELLS = 4
-
-
-def _octant_cell_key(pack: MTPack, origin, direction):
-    """Sort key grouping coherent rays: direction octant (3 bits), then
-    position cell on a per-axis grid over the scene bounds — rays in one
-    512-lane kernel block then share tight frusta and the per-tile AABB
-    culling fires (measured 2.3x vs the unsorted scan at 82k tris,
-    PERF.md 'ray binning')."""
-    oct_ = (
-        (direction[:, 0] >= 0).astype(jnp.int32) * 4
-        + (direction[:, 1] >= 0).astype(jnp.int32) * 2
-        + (direction[:, 2] >= 0).astype(jnp.int32)
-    )
-    span = jnp.maximum(pack.hi - pack.lo, 1e-6)
-    q = jnp.clip(
-        ((origin - pack.lo) / span * _BIN_CELLS).astype(jnp.int32),
-        0,
-        _BIN_CELLS - 1,
-    )
-    cell = (q[:, 0] * _BIN_CELLS + q[:, 1]) * _BIN_CELLS + q[:, 2]
-    return oct_ * _BIN_CELLS**3 + cell
-
-
-#: triangle count above which binning pays for its argsort (measured:
-#: binned loses at 1.3k tris, wins from ~10k up — PERF.md 'ray binning')
-BIN_THRESHOLD = 8192
-
-
 def nearest_triangle_mt(
     pack: MTPack,
     origin,
@@ -225,21 +192,18 @@ def nearest_triangle_mt(
     before the kernel and scatters results back — results are
     bit-identical either way (the winner reduction is order-free within
     a lane), only the block coherence changes. Default: bin when the
-    scene is big enough that tile culling outweighs the sort."""
+    scene is big enough that tile culling outweighs the sort
+    (BIN_THRESHOLD, measured in PERF.md 'ray binning')."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if binned is None:
         binned = pack.n_tri >= BIN_THRESHOLD
+
+    def query(o, d, tm):
+        x, tmax, n = pack_rays(o, d, tm, BN)
+        t, idx = _call(x, tmax, pack.tri, pack.aabb, pack.n_tri, interpret)
+        return t[:n], idx[:n]
+
     if binned:
-        order = jnp.argsort(_octant_cell_key(pack, origin, direction))
-        t_max = jnp.broadcast_to(
-            jnp.asarray(t_max, jnp.float32), origin.shape[:1]
-        )
-        origin, direction, t_max = origin[order], direction[order], t_max[order]
-    x, tmax, n = pack_rays(origin, direction, t_max, BN)
-    t, idx = _call(x, tmax, pack.tri, pack.aabb, pack.n_tri, interpret)
-    t, idx = t[:n], idx[:n]
-    if binned:
-        inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
-        t, idx = t[inv], idx[inv]
-    return t, idx
+        return run_binned(query, pack.lo, pack.hi, origin, direction, t_max)
+    return query(origin, direction, t_max)

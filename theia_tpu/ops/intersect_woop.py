@@ -37,11 +37,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ._intersect_tiles import (
+    BIN_THRESHOLD,
     block_slab_hit,
     check_vmem_budget,
     pack_rays,
     rcp,
+    run_binned,
     safe,
+    scene_bounds,
     select_winner,
     tile_aabbs,
 )
@@ -56,17 +59,19 @@ _EPS = 1e-6  # watertightness margin, matches the brute-force scan
 class WoopPack:
     """Device tables for the Woop kernel (triangle count is static)."""
 
-    def __init__(self, b, aabb, n_tri):
+    def __init__(self, b, aabb, lo, hi, n_tri):
         self.b = b  # f32 (T_tiles, 8, 6*BT)
         self.aabb = aabb  # f32 (T_tiles, 8): lo xyz, pad, hi xyz, pad
+        self.lo = lo  # f32 (3,) tight scene bounds (binning cell keys)
+        self.hi = hi
         self.n_tri = n_tri
 
 
 # pytree with n_tri static so jit can specialize on the triangle count
 jax.tree_util.register_pytree_node(
     WoopPack,
-    lambda p: ((p.b, p.aabb), p.n_tri),
-    lambda n_tri, leaves: WoopPack(leaves[0], leaves[1], n_tri),
+    lambda p: ((p.b, p.aabb, p.lo, p.hi), p.n_tri),
+    lambda n_tri, leaves: WoopPack(*leaves, n_tri),
 )
 
 
@@ -135,7 +140,10 @@ def pack_woop(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> WoopPack:
 
     check_vmem_budget("woop", n_tri, b.nbytes)
     aabb = tile_aabbs(v0, e1, e2, n_tri, n_tiles, BT)
-    return WoopPack(jnp.asarray(b), jnp.asarray(aabb), n_tri)
+    lo, hi = scene_bounds(v0, e1, e2, n_tri)
+    return WoopPack(
+        jnp.asarray(b), jnp.asarray(aabb), jnp.asarray(lo), jnp.asarray(hi), n_tri
+    )
 
 
 def _kernel(
@@ -235,15 +243,28 @@ def nearest_triangle_woop(
     *,
     interpret: bool | None = None,
     precision: str = "highest",
+    binned: bool | None = None,
 ):
     """Nearest-hit query: returns (t, tri_idx); t=inf / idx=-1 on miss.
 
     ``precision``: matmul precision for the transform dot. "highest"
     (bf16x6, f32-exact) is the default; "high" (bf16x3, ~2^-16 relative)
     is ~2x faster on the MXU and still well inside the kernel's
-    watertightness margins for scenes at unit scale."""
+    watertightness margins for scenes at unit scale.
+    ``binned``: octant/cell wavefront sort activating the tile culling
+    (see nearest_triangle_mt); defaults on above BIN_THRESHOLD."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    x, tmax, n = pack_rays(origin, direction, t_max, BN)
-    t, idx = _call(x, tmax, pack.b, pack.aabb, pack.n_tri, interpret, precision)
-    return t[:n], idx[:n]
+    if binned is None:
+        binned = pack.n_tri >= BIN_THRESHOLD
+
+    def query(o, d, tm):
+        x, tmax, n = pack_rays(o, d, tm, BN)
+        t, idx = _call(
+            x, tmax, pack.b, pack.aabb, pack.n_tri, interpret, precision
+        )
+        return t[:n], idx[:n]
+
+    if binned:
+        return run_binned(query, pack.lo, pack.hi, origin, direction, t_max)
+    return query(origin, direction, t_max)
