@@ -234,3 +234,34 @@ def test_sharded_instanced_scene_equals_single():
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(single), rtol=1e-5
     )
+
+
+def test_multihost_runner_single_params_snapshot():
+    """shard_trace_multihost must take exactly ONE params() snapshot per
+    batch (regression: a second call double-advanced streaming sources,
+    silently skipping every other data block)."""
+    from theia_tpu.light import StreamingHostWavelengthSource
+    from theia_tpu.parallel import shard_trace_multihost
+
+    wl = np.linspace(400.0, 500.0, 16 * 1024, dtype=np.float32)
+    src = StreamingHostWavelengthSource(wl, batchSize=4 * 1024)
+    tracer = VolumeForwardTracer(
+        4 * 1024,
+        SphericalLightSource(
+            position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e9
+        ),
+        InnerSphereTarget(position=(0.0, 0.0, 0.0), radius=60.0),
+        src,
+        HistogramHitResponse(nBins=10, t0=0.0, binSize=50.0),
+        PhiloxRNG(key=0xC0DE),
+        medium=Model().createMedium(num_lambda=16, num_theta=16),
+        nScattering=2,
+        scatterCoefficient=0.02,
+    )
+    run = shard_trace_multihost(tracer)
+    assert src.offset == 0
+    curve, _ = run()
+    assert src.offset == 4 * 1024  # exactly one block consumed
+    assert np.asarray(curve).sum() > 0
+    run()
+    assert src.offset == 8 * 1024

@@ -172,3 +172,42 @@ def test_checkpoint_resume_bitexact(tmp_path):
     np.testing.assert_array_equal(task_b.result, task_ref.result)
     assert task_b.error == task_ref.error
     assert pipe_b.tracer.rng.offset == pipe_ref.tracer.rng.offset
+
+
+def test_checkpoint_captures_streaming_source_cursor(tmp_path):
+    """Streaming host sources replay host arrays block by block; their
+    cursor must survive checkpoint/resume (regression: only stages with
+    advance() were captured)."""
+    from theia_tpu.light import StreamingHostWavelengthSource
+    from theia_tpu.pipeline import loadCheckpoint, saveCheckpoint
+    from theia_tpu.target import InnerSphereTarget
+    from theia_tpu.trace import VolumeForwardTracer
+
+    def build_streaming():
+        wl = np.linspace(400.0, 500.0, 40 * 1024, dtype=np.float32)
+        return VolumeForwardTracer(
+            4 * 1024,
+            SphericalLightSource(
+                position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e6
+            ),
+            InnerSphereTarget(position=(0.0, 0.0, 0.0), radius=50.0),
+            StreamingHostWavelengthSource(wl, batchSize=4 * 1024),
+            HistogramHitResponse(nBins=10, t0=0.0, binSize=50.0),
+            PhiloxRNG(key=0xBEEF),
+            medium=Model().createMedium(num_lambda=16, num_theta=16),
+            nScattering=2,
+            scatterCoefficient=0.02,
+        )
+
+    pipe = Pipeline(build_streaming())
+    pipe.run()
+    pipe.run()
+    src = pipe.stages["photons"]
+    assert src.offset == 2 * 4 * 1024
+    ckpt = tmp_path / "s.npz"
+    saveCheckpoint(ckpt, pipe)
+
+    pipe2 = Pipeline(build_streaming())
+    loadCheckpoint(ckpt, pipe2)
+    assert pipe2.stages["photons"].offset == 2 * 4 * 1024
+    assert pipe2.tracer.rng.offset == pipe.tracer.rng.offset

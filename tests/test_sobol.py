@@ -166,3 +166,21 @@ def test_stream_is_lane_id_after_advance():
     np.testing.assert_array_equal(
         np.asarray(lam), src.wavelength[np.arange(64) % 1000]
     )
+
+
+def test_buffer_sink_sobol_blocks_disjoint():
+    """RNGBufferSink must advance a Sobol generator by *rows*: consecutive
+    run() blocks share no values (regression: advancing by draws made
+    block 2 overlap rows 4.. of block 1)."""
+    from theia_tpu.random import RNGBufferSink
+
+    sink = RNGBufferSink(SobolQRNG(seed=3, dims=8), streams=32, samples=4)
+    a = sink.run()
+    b = sink.run()
+    assert not (a[:, None, :] == b[None, :, :]).all(-1).any(), (
+        "overlapping Sobol rows between consecutive sink blocks"
+    )
+    # and over-asking the generator's dims fails loudly, not truncated
+    deep = RNGBufferSink(SobolQRNG(seed=3, dims=8), streams=16, samples=16)
+    with pytest.raises(ValueError, match="draws per stream"):
+        deep.run()

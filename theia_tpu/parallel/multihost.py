@@ -107,19 +107,26 @@ def shard_trace_multihost(tracer, mesh: Mesh | None = None):
     ``tracer.run()``: each call traces one global batch of
     ``tracer.capacity`` paths spread over every device of every host,
     advances the RNG, and returns the globally-psum'd results as
-    host-local numpy."""
+    host-local numpy.
+
+    Note: the params snapshot is re-replicated every batch because
+    stateful stages (streaming host sources) may change it between
+    batches. For static params that costs one host->device table upload
+    per batch, dominated by batch compute at production sizes."""
     mesh = global_photon_mesh() if mesh is None else mesh
     fn = shard_trace(tracer, mesh)
     streams = global_streams(tracer.capacity, mesh)
 
     def run(params=None, *, advance: bool = True):
-        p = tracer.params() if params is None else params
-        p = replicate_tree(p, mesh)
+        # ONE params() snapshot per batch (stateful stages advance inside
+        # params(), e.g. streaming host sources) — trace and finalize
+        # against the same snapshot, like the single-host tracer.run()
+        p_local = tracer.params() if params is None else params
+        p = replicate_tree(p_local, mesh)
         counter = replicate_tree(tracer.rng.counter_words, mesh)
         resp_state, cb_state = fn(p, counter, streams)
         if advance:
             tracer.rng.advance()
-        p_local = tracer.params() if params is None else params
         return (
             tracer.response.result(p_local["response"], fetch(resp_state)),
             tracer.callback.result(p_local["callback"], fetch(cb_state)),

@@ -325,11 +325,13 @@ class ConvergeHistogramTask(DynamicTask):
 
 
 def _rng_stages(pipeline: Pipeline):
-    """(name, rng) pairs with host-side cursors: the tracer's generator
-    (not a named stage) plus any stage exposing offset/advance."""
+    """(name, stage) pairs with host-side cursors: the tracer's generator
+    (not a named stage) plus any stage exposing an integer ``offset`` —
+    RNGs (offset + advance) AND streaming host sources (offset + update),
+    whose replay position is exactly the kind of state resume needs."""
     out = [("_tracer_rng", pipeline.tracer.rng)]
     for name, stage in pipeline.stages.items():
-        if hasattr(stage, "offset") and hasattr(stage, "advance"):
+        if isinstance(getattr(stage, "offset", None), int):
             out.append((name, stage))
     return out
 
@@ -350,9 +352,8 @@ def saveCheckpoint(path, pipeline: Pipeline, task=None) -> None:
     blobs: dict = {}
     for name, stage in _rng_stages(pipeline):
         blobs[f"rng__{name}__offset"] = np.int64(stage.offset)
-        blobs[f"rng__{name}__autoAdvance"] = np.int64(
-            getattr(stage, "autoAdvance", 0)
-        )
+        if hasattr(stage, "autoAdvance"):
+            blobs[f"rng__{name}__autoAdvance"] = np.int64(stage.autoAdvance)
     if task is not None:
         state = task.state_dict()
         for k, v in state.items():
@@ -372,7 +373,8 @@ def loadCheckpoint(path, pipeline: Pipeline, task=None) -> None:
             key = f"rng__{name}__offset"
             if key in data:
                 stage.offset = int(data[key])
-                stage.autoAdvance = int(data[f"rng__{name}__autoAdvance"])
+                if f"rng__{name}__autoAdvance" in data:
+                    stage.autoAdvance = int(data[f"rng__{name}__autoAdvance"])
         if task is not None:
             state = {}
             for k in data.files:

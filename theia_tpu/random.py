@@ -275,18 +275,40 @@ class PhiloxRNG(RNG):
         self.offset += self.autoAdvance if n is None else n
 
 
-def rng_buffer(rng: "PhiloxRNG", n_streams: int, n_draws: int) -> jax.Array:
+def rng_buffer(
+    rng: "PhiloxRNG",
+    n_streams: int,
+    n_draws: int,
+    *,
+    base_stream: int = 0,
+    base_count: int = 0,
+) -> jax.Array:
     """Fill a (n_streams, n_draws) buffer with uniform samples for host-side
     statistical tests (reference: src/theia/random.py:44-199 RNGBufferSink).
 
-    Host-side generators (e.g. :class:`SobolQRNG`) are dispatched to their
-    own ``sample`` method."""
+    Generators without the Philox key/counter interface (e.g.
+    :class:`SobolQRNG`) are dispatched to their own ``sample`` method,
+    whose per-stream draw count is bounded by ``dims`` — requesting more
+    raises instead of silently truncating."""
     if not hasattr(rng, "key_words"):
         import numpy as np
 
-        return jnp.asarray(np.asarray(rng.sample(n_streams))[:, :n_draws])
-    streams = jnp.arange(n_streams, dtype=jnp.uint32)[:, None]
-    draws = jnp.arange(n_draws, dtype=jnp.uint32)[None, :]
+        buf = np.asarray(rng.sample(base_stream + n_streams))
+        if base_count + n_draws > buf.shape[1]:
+            raise ValueError(
+                f"generator provides {buf.shape[1]} draws per stream but "
+                f"{base_count + n_draws} were requested (raise dims=)"
+            )
+        return jnp.asarray(
+            buf[base_stream:, base_count : base_count + n_draws]
+        )
+    streams = (
+        jnp.arange(n_streams, dtype=jnp.uint32)[:, None]
+        + jnp.uint32(base_stream)
+    )
+    draws = (
+        jnp.arange(n_draws, dtype=jnp.uint32)[None, :] + jnp.uint32(base_count)
+    )
     return philox_uniform(rng.key_words, rng.counter_words, streams, draws)
 
 
@@ -584,22 +606,18 @@ class RNGBufferSink:
 
         draws = self.samples * self.sampleDim
         gen = self.generator
-        if hasattr(gen, "key_words"):
-            streams = (
-                jnp.arange(self.streams, dtype=jnp.uint32) + self.baseStream
-            )[:, None]
-            dims = jnp.arange(draws, dtype=jnp.uint32)[None, :] + jnp.uint32(
-                self.baseCount
-            )
-            out = philox_uniform(gen.key_words, gen.counter_words, streams, dims)
-        else:  # host-side / Sobol generators expose sample()
-            out = jnp.asarray(
-                np.asarray(gen.sample(self.baseStream + self.streams))[
-                    self.baseStream :, self.baseCount : self.baseCount + draws
-                ]
-            )
+        out = rng_buffer(
+            gen,
+            self.streams,
+            draws,
+            base_stream=self.baseStream,
+            base_count=self.baseCount,
+        )
         if self.sampleDim == 2:
             out = out.reshape(self.streams, self.samples, 2)
         self.buffer = np.asarray(out)
-        gen.advance(draws)
+        # fresh block next run: Philox offsets count draws per stream;
+        # sample-index generators (Sobol) count rows, so the next block
+        # of `streams` rows is the fresh one
+        gen.advance(draws if hasattr(gen, "key_words") else self.streams)
         return self.buffer

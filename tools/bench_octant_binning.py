@@ -23,19 +23,7 @@ import numpy as np
 
 from bench_bvh_crossover import build_array_scene  # noqa: E402
 
-
-def octant_key(o, d, lo, hi, cells=4):
-    """Sort key: direction octant (3 bits) then position cell."""
-    oct_ = (
-        (d[:, 0] >= 0).astype(jnp.int32) * 4
-        + (d[:, 1] >= 0).astype(jnp.int32) * 2
-        + (d[:, 2] >= 0).astype(jnp.int32)
-    )
-    q = jnp.clip(
-        ((o - lo) / (hi - lo) * cells).astype(jnp.int32), 0, cells - 1
-    )
-    cell = (q[:, 0] * cells + q[:, 1]) * cells + q[:, 2]
-    return oct_ * cells**3 + cell
+from theia_tpu.ops._intersect_tiles import octant_cell_key  # noqa: E402
 
 
 def main():
@@ -79,7 +67,7 @@ def main():
 
     @jax.jit
     def sort_only(o, d):
-        order = jnp.argsort(octant_key(o, d, lo, hi))
+        order = jnp.argsort(octant_cell_key(lo, hi, o, d))
         return order.sum()
 
     key = jax.random.PRNGKey(11)
