@@ -227,3 +227,16 @@ def test_serialize_medium():
     assert serializeMedium(med) == med.name
     assert serializeMedium("water") == "water"
     assert serializeMedium(None) is None
+
+
+def test_package_root_exposes_submodules():
+    """`import theia_tpu; theia_tpu.camera...` works like the reference
+    root (ref __init__.py exposes every submodule), including the
+    reference's `task` module name."""
+    import theia_tpu
+
+    assert theia_tpu.camera.PencilCamera is not None
+    assert theia_tpu.task.ConvergeHistogramTask is not None
+    assert theia_tpu.scene.Scene is not None
+    with pytest.raises(AttributeError):
+        theia_tpu.not_a_module

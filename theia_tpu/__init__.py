@@ -12,3 +12,25 @@ from . import units
 from .random import PhiloxRNG, RNGState
 
 __version__ = "0.1.0"
+
+#: submodules reachable as ``theia_tpu.<name>`` without an explicit
+#: import, like the reference package root (ref __init__.py __all__);
+#: loaded lazily so importing the root stays cheap and cycle-free
+_SUBMODULES = {
+    "accel", "callback", "camera", "cascades", "component", "items",
+    "light", "lookup", "material", "mesh", "parallel", "pipeline",
+    "polarization", "profiling", "random", "render", "response", "scene",
+    "target", "testing", "trace",
+}
+
+__all__ = sorted(_SUBMODULES | {"units", "task", "PhiloxRNG", "RNGState"})
+
+
+def __getattr__(name: str):
+    import importlib
+
+    if name == "task":  # reference name for the dynamic-task module
+        return importlib.import_module(".pipeline", __name__)
+    if name in _SUBMODULES:
+        return importlib.import_module("." + name, __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
