@@ -20,6 +20,7 @@ CASES = [
     ("06_timing_calibration.py", "recovered group-velocity scale"),
     ("07_scene_render.py", "pixels hit geometry"),
     ("08_detector_array.py", "per-module light curves recorded"),
+    ("09_source_reconstruction.py", "flash position recovered"),
 ]
 
 

@@ -240,3 +240,63 @@ def test_grad_backward_eta2_statistical():
     # the shrinking transmittance at near-normal incidence
     assert g_ad > 0.0 and fd > 0.0, (g_ad, fd)
     assert np.abs(g_ad / fd - 1.0) < 0.5, (g_ad, fd)
+
+
+def test_arrival_time_gradient_wrt_source_position():
+    """Geometry gradients through the scene tracer: the hit-distance
+    reattachment makes KDE arrival times differentiable w.r.t. the
+    source position, FD-consistent (the basis of examples/09)."""
+    import jax
+    import jax.numpy as jnp
+
+    from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+    from theia_tpu.material import Material, MaterialStore
+    from theia_tpu.random import PhiloxRNG
+    from theia_tpu.response import KernelHistogramHitResponse
+    from theia_tpu.scene import MeshStore, Scene, Transform
+    from theia_tpu.testing import WaterTestModel
+    from theia_tpu.trace import SceneForwardTracer
+
+    medium = WaterTestModel(mu_a=0.01, mu_s=0.02, g=0.3).createMedium()
+    mats = MaterialStore.pack([Material("det", None, medium, flags="DB")])
+    meshes = MeshStore({"sphere": "/root/reference/assets/sphere.stl"})
+    insts = [
+        meshes.createInstance(
+            "sphere", "det",
+            Transform.TRS(scale=0.4, translate=(2.0 * i - 1.0, 2.0 * j - 1.0, 0.0)),
+            detectorId=i * 2 + j,
+        )
+        for i in range(2)
+        for j in range(2)
+    ]
+    scene = Scene(insts, mats, medium="water_test", accel="instanced")
+    tracer = SceneForwardTracer(
+        4 * 1024,
+        SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e6),
+        UniformWavelengthSource(lambdaRange=(420.0, 480.0)),
+        KernelHistogramHitResponse(nBins=30, t0=0.0, binSize=1.0, nDetectors=4),
+        PhiloxRNG(key=0xBADA55),
+        scene, maxPathLength=4, maxTime=30.0,
+    )
+    fn, (p0, counter, streams) = tracer.trace_fn()
+
+    def curves(pos):
+        p = dict(p0)
+        ls = dict(p["lightSource"])
+        ls["position"] = pos
+        p["lightSource"] = ls
+        return fn(p, counter, streams)[0]
+
+    obs = curves(jnp.array([0.3, -0.2, 0.0], jnp.float32))
+
+    def loss(x):
+        c = curves(jnp.array([x, 0.0, 0.0], jnp.float32))
+        return jnp.sum((c - obs) ** 2) / jnp.sum(obs**2)
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    assert np.isfinite(g)
+    eps = 2e-2
+    fd = (float(loss(jnp.float32(eps))) - float(loss(jnp.float32(-eps)))) / (2 * eps)
+    # reparameterized gradient: same sign and magnitude within ~50%
+    assert np.sign(g) == np.sign(fd), (g, fd)
+    assert 0.3 < abs(g / fd) < 3.0, (g, fd)

@@ -299,3 +299,52 @@ def test_profiling_helpers(tmp_path):
 
     t = batch_timings(tracer, runs=3, warmup=0)
     assert t["min"] <= t["median"] <= t["max"]
+
+
+def test_histogram_per_detector_axis():
+    """nDetectors= bins hits by object id into (nDetectors, nBins); ids
+    outside the range are dropped; summing over detectors reproduces the
+    plain histogram restricted to valid ids."""
+    import jax.numpy as jnp
+
+    from theia_tpu.component import TraceConfig
+    from theia_tpu.random import PhiloxRNG
+    from theia_tpu.response import HistogramHitResponse
+    from theia_tpu.trace.core import HitItem
+
+    n = 256
+    rng = np.random.default_rng(5)
+    times = rng.uniform(0.0, 10.0, n).astype(np.float32)
+    ids = rng.integers(-1, 4, n).astype(np.int32)  # -1 and 3 are invalid
+    item = HitItem(
+        position=jnp.zeros((n, 3)),
+        direction=jnp.zeros((n, 3)),
+        normal=jnp.zeros((n, 3)),
+        wavelength=jnp.full(n, 450.0),
+        time=jnp.asarray(times),
+        contrib=jnp.ones(n),
+        object_id=jnp.asarray(ids),
+    )
+    cfg = TraceConfig(
+        batch_size=n, capacity=n, max_hits_per_thread=1,
+        normalization=1.0, polarized=False,
+    )
+
+    def run(**kw):
+        r = HistogramHitResponse(nBins=10, t0=0.0, binSize=1.0, **kw)
+        r.prepare(cfg)
+        state, _ = r.record(
+            r.params(), r.init(), item, jnp.ones(n, bool),
+            PhiloxRNG(key=1).state(jnp.arange(n, dtype=jnp.uint32)),
+        )
+        return np.asarray(r.result(r.params(), state))
+
+    per_det = run(nDetectors=3)
+    assert per_det.shape == (3, 10)
+    # each detector's histogram matches a numpy reference
+    for d in range(3):
+        sel = ids == d
+        ref, _ = np.histogram(times[sel], bins=10, range=(0.0, 10.0))
+        np.testing.assert_allclose(per_det[d], ref)
+    # ids outside [0, 3) are dropped entirely
+    assert per_det.sum() == (np.isin(ids, [0, 1, 2])).sum()

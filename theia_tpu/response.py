@@ -151,7 +151,13 @@ class EmptyResponse(HitResponse):
 class HistogramHitResponse(HitResponse):
     """Time-binned histogram of response values — the light curve
     (reference: src/theia/response.py:1200-1421,
-    shader/response.histogram.glsl:16-68)."""
+    shader/response.histogram.glsl:16-68).
+
+    ``nDetectors``: when set, hits are additionally binned by their
+    detector/object id into an (nDetectors, nBins) array — one transient
+    per module from a single trace (hits with ids outside [0, nDetectors)
+    are dropped). The reference filters one detectorId per tracer pass
+    instead; the detector axis costs nothing on TPU (same scatter-add)."""
 
     name = "Histogram Hit Response"
     _param_names = ("t0", "binSize")
@@ -164,6 +170,7 @@ class HistogramHitResponse(HitResponse):
         t0: float = 0.0,
         binSize: float = 1.0,
         normalization: float | None = None,
+        nDetectors: int | None = None,
     ) -> None:
         self.value_response = (
             UniformValueResponse() if value_response is None else value_response
@@ -171,8 +178,21 @@ class HistogramHitResponse(HitResponse):
         self.nBins = nBins
         self.t0 = t0
         self.binSize = binSize
+        self.nDetectors = nDetectors
         self._normalization = normalization
         self.nRNGSamples = self.value_response.nRNGSamples
+
+    def _size(self) -> int:
+        return self.nBins * (self.nDetectors or 1)
+
+    def _flat_bins(self, item: HitItem, bins, oob):
+        """Flatten (detector, time-bin) to a scatter index; out-of-range
+        lanes map to the drop slot ``_size()``."""
+        if self.nDetectors is not None:
+            det = jax.lax.stop_gradient(item.object_id).astype(jnp.int32)
+            oob = oob | (det < 0) | (det >= self.nDetectors)
+            bins = jnp.clip(bins, 0, self.nBins - 1) + det * self.nBins
+        return jnp.where(oob, self._size(), bins)
 
     def params(self):
         p = super().params()
@@ -191,7 +211,7 @@ class HistogramHitResponse(HitResponse):
             self._normalization = normalization
 
     def init(self):
-        return jnp.zeros(self.nBins, jnp.float32)
+        return jnp.zeros(self._size(), jnp.float32)
 
     def record(self, params, state, item: HitItem, mask, rng: RNGState):
         value, rng = self.value_response.value(params.get("value", {}), item, rng)
@@ -200,13 +220,16 @@ class HistogramHitResponse(HitResponse):
         bin_f = jnp.floor((t - params["t0"]) / params["binSize"])
         bins = bin_f.astype(jnp.int32)
         oob = (bin_f < 0) | (bin_f >= self.nBins) | ~mask
-        bins = jnp.where(oob, self.nBins, bins)  # dropped by mode="drop"
-        value = jnp.where(oob, 0.0, value)
+        bins = self._flat_bins(item, bins, oob)  # drop slot on oob
+        value = jnp.where(bins >= self._size(), 0.0, value)
         state = state.at[bins].add(value, mode="drop")
         return state, rng
 
     def result(self, params, state):
-        return state * jnp.float32(self._normalization)
+        out = state * jnp.float32(self._normalization)
+        if self.nDetectors is not None:
+            out = out.reshape(self.nDetectors, self.nBins)
+        return out
 
 
 class KernelHistogramHitResponse(HistogramHitResponse):
@@ -228,6 +251,7 @@ class KernelHistogramHitResponse(HistogramHitResponse):
         bandwidth: float = 1.0,
         support: int = 4,
         normalization: float | None = None,
+        nDetectors: int | None = None,
     ) -> None:
         super().__init__(
             value_response,
@@ -235,6 +259,7 @@ class KernelHistogramHitResponse(HistogramHitResponse):
             t0=t0,
             binSize=binSize,
             normalization=normalization,
+            nDetectors=nDetectors,
         )
         self.bandwidth = bandwidth
         self.support = support  # kernel support in +-bins (static)
@@ -252,8 +277,8 @@ class KernelHistogramHitResponse(HistogramHitResponse):
             bc = (bins.astype(jnp.float32) + 0.5) * params["binSize"] + params["t0"]
             w = jnp.exp(-0.5 * jnp.square((bc - t) / h)) * norm
             oob = (bins < 0) | (bins >= self.nBins) | ~mask
-            b = jnp.where(oob, self.nBins, bins)
-            v = jnp.where(oob, 0.0, value * w)
+            b = self._flat_bins(item, bins, oob)
+            v = jnp.where(b >= self._size(), 0.0, value * w)
             state = state.at[b].add(v, mode="drop")
         return state, rng
 

@@ -362,7 +362,16 @@ class SceneForwardTracer(TracerBase):
             jnp.maximum(dot(hit.world_pos - ray.position, hit.world_pos - ray.position), 1e-30)
         )
         moved = replace(ray, position=hit.world_pos)
-        return update_ray(moved, dist, prop)
+        new, code = update_ray(moved, dist, prop)
+        # deterministic connection distance: reattach its gradient to the
+        # arrival time / transmittance (see the segment-loop comment)
+        dt_re = dist - lax.stop_gradient(dist)
+        new = replace(
+            new,
+            time=new.time + dt_re / new.constants.vg,
+            log_contrib=new.log_contrib - new.constants.mu_e * dt_re,
+        )
+        return new, code
 
     def _shadow_response(
         self, p, resp_state, ray: RayState, hit: SurfaceHit, mask, rng, prop,
@@ -495,6 +504,22 @@ class SceneForwardTracer(TracerBase):
                 travel = jnp.where(ext_mask, sampled_dist, travel)
 
             ray, code = propagate_ray(ray, travel, prop)
+            # Reattach the deterministic hit-distance gradient: sampled
+            # scatter distances must stay frozen (frozen-sampler IS
+            # discipline, trace/core.py), but a surface hit's distance is
+            # pure geometry — hit.t is recomputed differentiably in
+            # intersect_scene, so the zero-valued (t - sg(t)) correction
+            # makes arrival times and transmittance carry d/d(geometry)
+            # (e.g. source-position reconstruction from light curves)
+            # without touching any value or the vg/mu gradient paths.
+            dt_re = jnp.where(
+                hit.valid, travel - lax.stop_gradient(travel), 0.0
+            )
+            ray = replace(
+                ray,
+                time=ray.time + dt_re / ray.constants.vg,
+                log_contrib=ray.log_contrib - ray.constants.mu_e * dt_re,
+            )
             ray = update_ray_is(ray, travel, prop, hit.valid)
             # media mismatch error dominates
             code = jnp.where(hit.valid & (hit.error != 0), hit.error, code)
