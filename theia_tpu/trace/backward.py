@@ -110,6 +110,16 @@ def combine_rays_aligned(
     Returns (contrib, time, ok_mask)."""
     dist = distance(ray.position, end_pos)
     ray, code = update_ray(ray, dist, prop)
+    # the connection distance is deterministic geometry (not a sampled
+    # quantity): reattach its gradient to time and transmittance, like
+    # the scene tracer's hit-distance reattachment (trace/scene.py) —
+    # zero-valued, so primal results and the vg/mu paths are untouched
+    dt_re = dist - lax.stop_gradient(dist)
+    ray = replace(
+        ray,
+        time=ray.time + dt_re / ray.constants.vg,
+        log_contrib=ray.log_contrib - ray.constants.mu_e * dt_re,
+    )
     contrib = end_contrib * ray.contrib
     time = end_time_offset + ray.time
     ok = (code >= 0) & (time <= prop.max_time) & (contrib > 0.0)
