@@ -83,7 +83,9 @@ def main() -> None:
         ls["position"] = pos
         p["lightSource"] = ls
         resp, _ = fn(p, counter, streams)
-        return resp  # (8 modules, 40 bins), differentiable in pos
+        # normalized per-module light curves (8 modules, 40 bins),
+        # differentiable in pos
+        return tracer.response.result(p["response"], resp)
 
     observed = curves(TRUE_POS)  # "data" taken at the unknown true position
 

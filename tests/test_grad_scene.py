@@ -300,3 +300,59 @@ def test_arrival_time_gradient_wrt_source_position():
     # reparameterized gradient: same sign and magnitude within ~50%
     assert np.sign(g) == np.sign(fd), (g, fd)
     assert 0.3 < abs(g / fd) < 3.0, (g, fd)
+
+
+def test_backward_geometry_gradient_through_bounce():
+    """SceneBackwardTracer: camera-side *surface* segments (hit.t) must
+    carry geometry gradients like the forward tracer's (the
+    core.reattach_geometry discipline). Camera sits inside a slow glass
+    sphere immersed in scattering water; the glass leg of every path is a
+    geometric hit distance, so d(light curve)/d(camera x) via AD must be
+    FD-consistent."""
+    from theia_tpu.response import KernelHistogramHitResponse
+    from theia_tpu.trace.scene_backward import SceneBackwardTracer
+
+    glass = DispersionFreeMedium(n=1.8, ng=1.8, mu_a=0.0, mu_s=0.0).createMedium(
+        name="glass"
+    )
+    water = Model(0.005, 0.05, 0.3).createMedium(name="water")
+    mats = MaterialStore.pack([Material("glass_water", glass, water, flags="T")])
+    meshes = MeshStore({"sphere": "/root/reference/assets/sphere.stl"})
+    inst = meshes.createInstance(
+        "sphere", "glass_water", Transform.TRS(scale=3.0)
+    )
+    scene = Scene([inst], mats, medium="water")
+    tracer = SceneBackwardTracer(
+        4 * 1024,
+        SphericalLightSource(position=(8.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e6),
+        PointCamera(position=(0.0, 0.0, 0.0)),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        KernelHistogramHitResponse(nBins=40, t0=0.0, binSize=2.0),
+        PhiloxRNG(key=0x5EED),
+        scene,
+        medium="glass",
+        maxPathLength=4,
+        maxTime=80.0,
+        disableDirectLighting=True,
+    )
+    fn, (p0, counter, streams) = tracer.trace_fn()
+
+    def curves(x):
+        p = dict(p0)
+        cam = dict(p["camera"])
+        cam["position"] = jnp.stack([x, jnp.float32(0.0), jnp.float32(0.0)])
+        p["camera"] = cam
+        return fn(p, counter, streams)[0]
+
+    obs = curves(jnp.float32(0.9))
+
+    def loss(x):
+        c = curves(x)
+        return jnp.sum((c - obs) ** 2) / jnp.sum(obs**2)
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    assert np.isfinite(g)
+    eps = 2e-2
+    fd = (float(loss(jnp.float32(eps))) - float(loss(jnp.float32(-eps)))) / (2 * eps)
+    assert np.sign(g) == np.sign(fd), (g, fd)
+    assert 0.4 < abs(g / fd) < 2.5, (g, fd)

@@ -20,17 +20,15 @@ _SUBMODULES = {
     "accel", "callback", "camera", "cascades", "component", "items",
     "light", "lookup", "material", "mesh", "parallel", "pipeline",
     "polarization", "profiling", "random", "render", "response", "scene",
-    "target", "testing", "trace",
+    "target", "task", "testing", "trace",
 }
 
-__all__ = sorted(_SUBMODULES | {"units", "task", "PhiloxRNG", "RNGState"})
+__all__ = sorted(_SUBMODULES | {"units", "PhiloxRNG", "RNGState"})
 
 
 def __getattr__(name: str):
     import importlib
 
-    if name == "task":  # reference name for the dynamic-task module
-        return importlib.import_module(".pipeline", __name__)
     if name in _SUBMODULES:
         return importlib.import_module("." + name, __name__)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

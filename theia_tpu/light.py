@@ -18,7 +18,7 @@ import numpy as np
 from . import units as u
 from .component import Component
 from .material import MediumConstants
-from .ops.math3d import dot, local_frame, normalize, vec3
+from .ops.math3d import distance, dot, local_frame, normalize, vec3
 from .ops.sampling import TWO_PI, sample_unit_sphere, spherical_to_cartesian
 from .random import RNGState
 

@@ -175,6 +175,10 @@ class HistogramHitResponse(HitResponse):
         self.value_response = (
             UniformValueResponse() if value_response is None else value_response
         )
+        if nBins < 1:
+            raise ValueError("nBins must be >= 1")
+        if nDetectors is not None and nDetectors < 1:
+            raise ValueError("nDetectors must be >= 1 (or None for no detector axis)")
         self.nBins = nBins
         self.t0 = t0
         self.binSize = binSize

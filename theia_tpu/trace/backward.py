@@ -46,6 +46,7 @@ from .core import (
     PropagateParams,
     RayState,
     propagate_ray,
+    reattach_geometry,
     sample_scatter_dir_medium,
     sample_scatter_length,
     scatter_prob,
@@ -111,15 +112,8 @@ def combine_rays_aligned(
     dist = distance(ray.position, end_pos)
     ray, code = update_ray(ray, dist, prop)
     # the connection distance is deterministic geometry (not a sampled
-    # quantity): reattach its gradient to time and transmittance, like
-    # the scene tracer's hit-distance reattachment (trace/scene.py) —
-    # zero-valued, so primal results and the vg/mu paths are untouched
-    dt_re = dist - lax.stop_gradient(dist)
-    ray = replace(
-        ray,
-        time=ray.time + dt_re / ray.constants.vg,
-        log_contrib=ray.log_contrib - ray.constants.mu_e * dt_re,
-    )
+    # quantity): reattach its gradient (see core.reattach_geometry)
+    ray = reattach_geometry(ray, dist)
     contrib = end_contrib * ray.contrib
     time = end_time_offset + ray.time
     ok = (code >= 0) & (time <= prop.max_time) & (contrib > 0.0)

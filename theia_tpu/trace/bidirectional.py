@@ -49,6 +49,7 @@ from .core import (
     PropagateParams,
     RayState,
     propagate_ray,
+    reattach_geometry,
     sample_scatter_length,
     update_ray,
     update_ray_is,
@@ -258,6 +259,8 @@ class BidirectionalPathTracer(TracerBase):
             hit = intersect_scene(pack, medium, ray.position, ray.direction, dist)
             travel = jnp.where(hit.valid, hit.t, dist)
             ray, code = propagate_ray(ray, travel, prop)
+            # geometric hit distance carries d/d(geometry) (core.reattach_geometry)
+            ray = reattach_geometry(ray, travel, valid=hit.valid)
             ray = update_ray_is(ray, travel, prop, hit.valid)
             code = jnp.where(hit.valid & (hit.error != 0), hit.error, code)
             in_bounds = code >= 0
@@ -467,6 +470,8 @@ class BidirectionalPathTracer(TracerBase):
             hit = intersect_scene(pack, cmedium, cray.position, cray.direction, dist)
             travel = jnp.where(hit.valid, hit.t, dist)
             cray, code = propagate_ray(cray, travel, prop)
+            # geometric hit distance carries d/d(geometry) (core.reattach_geometry)
+            cray = reattach_geometry(cray, travel, valid=hit.valid)
             cray = update_ray_is(cray, travel, prop, hit.valid)
             code = jnp.where(hit.valid & (hit.error != 0), hit.error, code)
             in_bounds = code >= 0

@@ -37,6 +37,7 @@ __all__ = [
     "update_ray_is",
     "propagate_ray",
     "propagate_ray_to_hit",
+    "reattach_geometry",
     "sample_scatter_dir_medium",
     "scatter_prob",
     "scatter_ray",
@@ -310,12 +311,41 @@ def propagate_ray(
     return new, code
 
 
+def reattach_geometry(
+    ray: RayState, dist: jax.Array, valid: jax.Array | None = None
+) -> RayState:
+    """Re-attach a *deterministic* distance's gradient to arrival time and
+    transmittance via the zero-valued ``dist - stop_gradient(dist)``.
+
+    ``update_ray``/``propagate_ray`` freeze ``dist`` by design (the
+    frozen-sampler AD discipline): sampled scatter lengths must not be
+    differentiated. But a surface-hit ``t`` or a shadow/connection distance
+    is pure geometry — recomputed differentiably by ``intersect_scene`` /
+    the analytic targets — so adding this correction makes arrival times
+    and exp(-mu_e d) carry d/d(geometry) (e.g. source-position
+    reconstruction from light curves) without changing any primal value or
+    the vg/mu gradient paths. Call it ONLY for geometric distances, never
+    for sampled ones."""
+    dt = dist - lax.stop_gradient(dist)
+    if valid is not None:
+        dt = jnp.where(valid, dt, 0.0)
+    return replace(
+        ray,
+        time=ray.time + dt / ray.constants.vg,
+        log_contrib=ray.log_contrib - ray.constants.mu_e * dt,
+    )
+
+
 def propagate_ray_to_hit(
     ray: RayState, hit_pos: jax.Array, params: PropagateParams
 ) -> tuple[RayState, jax.Array]:
-    """Propagate to a known hit position (reference: ray.propagate.glsl:245-258)."""
+    """Propagate to a known hit position (reference: ray.propagate.glsl:245-258).
+
+    The distance to a known hit is geometric, so its gradient is
+    re-attached (see ``reattach_geometry``)."""
     dist = jnp.linalg.norm(hit_pos - ray.position, axis=-1)
-    return update_ray(replace(ray, position=hit_pos), dist, params)
+    new, code = update_ray(replace(ray, position=hit_pos), dist, params)
+    return reattach_geometry(new, dist), code
 
 
 # ------------------------------ volume scattering ---------------------------

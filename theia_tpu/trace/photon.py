@@ -43,6 +43,7 @@ from .core import (
     RayState,
     create_hit,
     propagate_ray,
+    reattach_geometry,
     sample_scatter_dir_medium,
     sample_scatter_length,
     scatter_ray_is,
@@ -237,6 +238,8 @@ class VolumePhotonTracer(TracerBase):
             hit_valid = hit.valid & (hit.dist <= dist)
             dist = jnp.minimum(hit.dist, dist)
             ray, code = propagate_ray(ray, dist, prop)
+            # geometric target distance carries d/d(geometry) (core.reattach_geometry)
+            ray = reattach_geometry(ray, dist, valid=hit_valid)
             ray = update_ray_is(ray, dist, prop, hit_valid)
             in_bounds = code >= 0
 

@@ -51,6 +51,7 @@ from .core import (
     RayState,
     create_hit,
     propagate_ray,
+    reattach_geometry,
     sample_scatter_length,
     update_ray,
     update_ray_is,
@@ -365,13 +366,7 @@ class SceneForwardTracer(TracerBase):
         new, code = update_ray(moved, dist, prop)
         # deterministic connection distance: reattach its gradient to the
         # arrival time / transmittance (see the segment-loop comment)
-        dt_re = dist - lax.stop_gradient(dist)
-        new = replace(
-            new,
-            time=new.time + dt_re / new.constants.vg,
-            log_contrib=new.log_contrib - new.constants.mu_e * dt_re,
-        )
-        return new, code
+        return reattach_geometry(new, dist), code
 
     def _shadow_response(
         self, p, resp_state, ray: RayState, hit: SurfaceHit, mask, rng, prop,
@@ -505,21 +500,10 @@ class SceneForwardTracer(TracerBase):
 
             ray, code = propagate_ray(ray, travel, prop)
             # Reattach the deterministic hit-distance gradient: sampled
-            # scatter distances must stay frozen (frozen-sampler IS
-            # discipline, trace/core.py), but a surface hit's distance is
-            # pure geometry — hit.t is recomputed differentiably in
-            # intersect_scene, so the zero-valued (t - sg(t)) correction
-            # makes arrival times and transmittance carry d/d(geometry)
-            # (e.g. source-position reconstruction from light curves)
-            # without touching any value or the vg/mu gradient paths.
-            dt_re = jnp.where(
-                hit.valid, travel - lax.stop_gradient(travel), 0.0
-            )
-            ray = replace(
-                ray,
-                time=ray.time + dt_re / ray.constants.vg,
-                log_contrib=ray.log_contrib - ray.constants.mu_e * dt_re,
-            )
+            # scatter distances stay frozen, but hit.t is recomputed
+            # differentiably in intersect_scene (see
+            # core.reattach_geometry for the full rationale)
+            ray = reattach_geometry(ray, travel, valid=hit.valid)
             ray = update_ray_is(ray, travel, prop, hit.valid)
             # media mismatch error dominates
             code = jnp.where(hit.valid & (hit.error != 0), hit.error, code)

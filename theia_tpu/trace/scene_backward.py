@@ -51,6 +51,7 @@ from .core import (
     PropagateParams,
     RayState,
     propagate_ray,
+    reattach_geometry,
     sample_scatter_length,
     update_ray_is,
 )
@@ -351,6 +352,10 @@ class SceneBackwardTracer(TracerBase):
             hit = intersect_scene(pack, medium, ray.position, ray.direction, dist)
             travel = jnp.where(hit.valid, hit.t, dist)
             ray, code = propagate_ray(ray, travel, prop)
+            # hit.t is geometric (differentiable in intersect_scene) —
+            # reattach so camera-side bounce segments carry d/d(geometry)
+            # like the forward tracer (core.reattach_geometry)
+            ray = reattach_geometry(ray, travel, valid=hit.valid)
             ray = update_ray_is(ray, travel, prop, hit.valid)
             code = jnp.where(hit.valid & (hit.error != 0), hit.error, code)
             in_bounds = code >= 0

@@ -60,6 +60,7 @@ from .core import (
     create_hit,
     propagate_ray,
     propagate_ray_to_hit,
+    reattach_geometry,
     sample_scatter_dir_medium,
     sample_scatter_length,
     scatter_prob,
@@ -320,6 +321,8 @@ class VolumeForwardTracer(TracerBase):
         dist = jnp.minimum(hit.dist, dist)
 
         ray, code = propagate_ray(ray, dist, prop)
+        # geometric target distance carries d/d(geometry) (core.reattach_geometry)
+        ray = reattach_geometry(ray, dist, valid=hit_valid)
         ray = update_ray_is(ray, dist, prop, hit_valid)
         in_bounds = code >= 0
 
