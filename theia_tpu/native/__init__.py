@@ -67,16 +67,31 @@ class BVH:
     order: np.ndarray  # (T,) i32
 
 
+_SAH_BINS = 16
+
+
 def _build_numpy(v0, e1, e2, leaf_size: int) -> BVH:
-    """Reference implementation mirroring bvh.cpp exactly."""
+    """Reference implementation mirroring bvh.cpp exactly.
+
+    Split strategy: binned SAH (16 bins over the widest centroid axis,
+    areas/costs accumulated in float64 over exact float32 bounds so both
+    builders make bit-identical decisions), with a median split fallback
+    when the SAH cannot separate the range (degenerate centroids or an
+    empty side)."""
     n = len(v0)
     pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (T, 3verts, 3)
     tlo = pts.min(1)
     thi = pts.max(1)
-    cent = v0 + (e1 + e2) / 3.0
+    cent = v0 + (e1 + e2) / np.float32(3.0)
     order = np.arange(n, dtype=np.int32)
 
     bmin, bmax, miss, start, count = [], [], [], [], []
+
+    def _half_area(lo3, hi3):
+        d = np.asarray(hi3, np.float64) - np.asarray(lo3, np.float64)
+        if (d < 0).any():
+            return 0.0
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
 
     def build(lo, hi, miss_to):
         node = len(miss)
@@ -91,12 +106,47 @@ def _build_numpy(v0, e1, e2, leaf_size: int) -> BVH:
             count[node] = hi - lo
             return
         c = cent[sel]
-        widths = c.max(0) - c.min(0)
+        clo = c.min(0)
+        chi = c.max(0)
+        widths = chi - clo
         axis = int(np.argmax(widths))
-        mid = (lo + hi) // 2
-        k = mid - lo
-        part = np.argpartition(c[:, axis], k if k < len(sel) else len(sel) - 1)
-        order[lo:hi] = sel[part]
+        width = np.float32(widths[axis])
+
+        mid = -1
+        if width > 0.0:
+            # binned SAH over the widest centroid axis
+            scale = np.float32(_SAH_BINS) / width
+            idx = ((c[:, axis] - clo[axis]) * scale).astype(np.int32)
+            idx = np.minimum(idx, _SAH_BINS - 1)
+            nb = np.bincount(idx, minlength=_SAH_BINS)
+            blo = np.full((_SAH_BINS, 3), np.float32(1e38))
+            bhi = np.full((_SAH_BINS, 3), np.float32(-1e38))
+            for b in range(_SAH_BINS):
+                m = idx == b
+                if m.any():
+                    blo[b] = tlo[sel[m]].min(0)
+                    bhi[b] = thi[sel[m]].max(0)
+            best_cost, best_k = np.inf, -1
+            for k in range(_SAH_BINS - 1):
+                n_l = int(nb[: k + 1].sum())
+                n_r = int(nb[k + 1 :].sum())
+                if n_l == 0 or n_r == 0:
+                    continue
+                a_l = _half_area(blo[: k + 1].min(0), bhi[: k + 1].max(0))
+                a_r = _half_area(blo[k + 1 :].min(0), bhi[k + 1 :].max(0))
+                cost = a_l * n_l + a_r * n_r
+                if cost < best_cost:
+                    best_cost, best_k = cost, k
+            if best_k >= 0:
+                left = idx <= best_k  # stable partition
+                order[lo:hi] = np.concatenate([sel[left], sel[~left]])
+                mid = lo + int(left.sum())
+        if mid < 0:
+            # median fallback: degenerate centroids or SAH found no split
+            mid = (lo + hi) // 2
+            k = mid - lo
+            part = np.argpartition(c[:, axis], k if k < len(sel) else len(sel) - 1)
+            order[lo:hi] = sel[part]
         placeholder = -2 - node
         left_first = len(miss)
         build(lo, mid, placeholder)

@@ -1,4 +1,4 @@
-// Threaded-BVH builder (median split over centroids, skip links).
+// Threaded-BVH builder (binned SAH with median fallback, skip links).
 //
 // TPU-native replacement for the runtime the reference gets from Vulkan's
 // BLAS build (hephaistos GeometryStore): the host builds a flat, stackless
@@ -96,12 +96,81 @@ struct FlatBuilder {
         for (int c = 1; c < 3; ++c) {
             if (chi[c] - clo[c] > width) { width = chi[c] - clo[c]; axis = c; }
         }
-        int32_t mid = (lo + hi) / 2;
-        std::nth_element(
-            order.begin() + lo, order.begin() + mid, order.begin() + hi,
-            [&](int32_t a, int32_t b) {
-                return cent[3 * a + axis] < cent[3 * b + axis];
-            });
+
+        // binned SAH over the widest centroid axis; areas/costs in double
+        // over exact float32 bounds so the numpy twin makes bit-identical
+        // decisions. Median split fallback when SAH cannot separate.
+        int32_t mid = -1;
+        if (width > 0.0f) {
+            constexpr int B = 16;  // _SAH_BINS in native/__init__.py
+            const float scale = static_cast<float>(B) / width;
+            int32_t nb[B] = {0};
+            float blo[B][3], bhi[B][3];
+            for (int b = 0; b < B; ++b) {
+                for (int c = 0; c < 3; ++c) { blo[b][c] = 1e38f; bhi[b][c] = -1e38f; }
+            }
+            float tl[3], th[3];
+            for (int32_t i = lo; i < hi; ++i) {
+                float cc = cent[3 * order[i] + axis];
+                int b = static_cast<int>((cc - clo[axis]) * scale);
+                b = std::min(b, B - 1);
+                ++nb[b];
+                tri_bounds(order[i], tl, th);
+                for (int c = 0; c < 3; ++c) {
+                    blo[b][c] = std::min(blo[b][c], tl[c]);
+                    bhi[b][c] = std::max(bhi[b][c], th[c]);
+                }
+            }
+            auto half_area = [](const float* l, const float* h) -> double {
+                double dx = double(h[0]) - double(l[0]);
+                double dy = double(h[1]) - double(l[1]);
+                double dz = double(h[2]) - double(l[2]);
+                if (dx < 0 || dy < 0 || dz < 0) return 0.0;
+                return dx * dy + dy * dz + dz * dx;
+            };
+            double best_cost = 1e300;
+            int best_k = -1;
+            for (int k = 0; k < B - 1; ++k) {
+                int32_t n_l = 0, n_r = 0;
+                float llo[3] = {1e38f, 1e38f, 1e38f}, lhi[3] = {-1e38f, -1e38f, -1e38f};
+                float rlo[3] = {1e38f, 1e38f, 1e38f}, rhi[3] = {-1e38f, -1e38f, -1e38f};
+                for (int b = 0; b <= k; ++b) {
+                    n_l += nb[b];
+                    for (int c = 0; c < 3; ++c) {
+                        llo[c] = std::min(llo[c], blo[b][c]);
+                        lhi[c] = std::max(lhi[c], bhi[b][c]);
+                    }
+                }
+                for (int b = k + 1; b < B; ++b) {
+                    n_r += nb[b];
+                    for (int c = 0; c < 3; ++c) {
+                        rlo[c] = std::min(rlo[c], blo[b][c]);
+                        rhi[c] = std::max(rhi[c], bhi[b][c]);
+                    }
+                }
+                if (n_l == 0 || n_r == 0) continue;
+                double cost = half_area(llo, lhi) * n_l + half_area(rlo, rhi) * n_r;
+                if (cost < best_cost) { best_cost = cost; best_k = k; }
+            }
+            if (best_k >= 0) {
+                auto it = std::stable_partition(
+                    order.begin() + lo, order.begin() + hi,
+                    [&](int32_t t) {
+                        float cc = cent[3 * t + axis];
+                        int b = static_cast<int>((cc - clo[axis]) * scale);
+                        return std::min(b, B - 1) <= best_k;
+                    });
+                mid = static_cast<int32_t>(it - order.begin());
+            }
+        }
+        if (mid < 0) {
+            mid = (lo + hi) / 2;
+            std::nth_element(
+                order.begin() + lo, order.begin() + mid, order.begin() + hi,
+                [&](int32_t a, int32_t b) {
+                    return cent[3 * a + axis] < cent[3 * b + axis];
+                });
+        }
 
         // left child is node+1; on miss of left subtree continue at the
         // right subtree, whose first node index we know only after building
