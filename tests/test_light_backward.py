@@ -170,3 +170,119 @@ def test_cherenkov_backward_photons(rng):
 
 def test_cherenkov_backward_energy(rng):
     _cherenkov_case(rng, False)
+
+
+def _track_candidates(track, obs, nrm, n_refr, ft):
+    """Numpy oracle: per-segment Cherenkov backward candidates."""
+    v0, v1 = track[:-1], track[1:]
+    seg_vec = v1[:, :3] - v0[:, :3]
+    seg_len = np.linalg.norm(seg_vec, axis=-1)
+    seg_dir = seg_vec / seg_len[:, None]
+    cos_t, sin_t = 1.0 / n_refr, np.sqrt(1.0 - 1.0 / n_refr**2)
+    rel = obs[:, None, :] - v0[None, :, :3]
+    mu = (rel * seg_dir[None]).sum(-1)
+    c_point = v0[None, :, :3] + mu[..., None] * seg_dir[None]
+    d_perp = np.linalg.norm(obs[:, None, :] - c_point, axis=-1)
+    mu = mu - cos_t / sin_t * d_perp
+    pos = v0[None, :, :3] + mu[..., None] * seg_dir[None]
+    ray_dir = obs[:, None, :] - pos
+    ray_dir /= np.linalg.norm(ray_dir, axis=-1, keepdims=True)
+    cos_nrm = np.maximum((ray_dir * nrm[:, None, :]).sum(-1), 0.0)
+    on = (mu >= 0.0) & (mu <= seg_len[None])
+    contrib = ft * cos_nrm / d_perp * on
+    frac = mu / seg_len[None]
+    time = v0[None, :, 3] * (1 - frac) + v1[None, :, 3] * frac
+    return contrib, pos, time
+
+
+def test_cherenkov_track_backward(rng):
+    """Backward mode for the track source — a capability the reference
+    leaves unimplemented (lightsource.cherenkov.track.glsl:78-79 TODO).
+    Total contrib must equal the sum of the per-segment analytic
+    candidates (numpy oracle), the returned candidate must be one of them,
+    and selection frequencies must follow the contributions."""
+    from theia_tpu.light import CherenkovTrackLightSource, ParticleTrack
+
+    # bent track: two segments at an angle, beta = 1 timing
+    verts = np.array(
+        [
+            [-60.0, 0.0, 0.0, -60.0 / u.c],
+            [0.0, 0.0, 0.0, 0.0],
+            [30.0, 40.0, 0.0, 50.0 / u.c],
+        ],
+        np.float32,
+    )
+    track = ParticleTrack(verts)
+    src = CherenkovTrackLightSource(track, usePhotonCount=True)
+    model = WaterTestModel()
+    medium = model.createMedium()
+    lam = 450.0
+    n_refr = float(np.asarray(model.refractive_index(np.array([lam]))).ravel()[0])
+
+    obs = _observers(rng, scale=30.0).astype(np.float32)
+    nrm = _normals(rng).astype(np.float32)
+    ray = sampleBackwardLight(
+        src, obs, N, normal=nrm, wavelength=lam, medium=medium,
+        rng=PhiloxRNG(key=0xFACE),
+    )
+    sin_t = np.sqrt(1.0 - 1.0 / n_refr**2)
+    ft = 7.2973525693 / (lam * 1e-3) ** 2 * sin_t**2
+    contrib, pos, time = _track_candidates(verts, obs, nrm, n_refr, ft)
+
+    total = contrib.sum(-1)
+    assert np.allclose(ray.contrib, total, rtol=2e-4, atol=1e-7)
+    live = total > 0
+    assert live.sum() > N // 4
+    # the returned sample is one of the analytic candidates (same lane)
+    d_pos = np.linalg.norm(pos - np.asarray(ray.position)[:, None, :], axis=-1)
+    match = np.argmin(d_pos, axis=-1)
+    lane = np.arange(N)
+    assert d_pos[lane, match][live].max() < 1e-3
+    assert np.allclose(
+        np.asarray(ray.start_time)[live], time[lane, match][live], atol=1e-3
+    )
+    # candidates with zero contribution are never selected
+    assert (contrib[lane, match][live] > 0).all()
+    # selection frequency follows the contribution split (both-segment lanes)
+    both = (contrib > 0).all(-1)
+    if both.sum() > 200:
+        p0 = contrib[both, 0] / total[both]
+        took0 = match[both] == 0
+        # aggregated Bernoulli with per-lane p: 5 sigma
+        mean, var = p0.sum(), (p0 * (1 - p0)).sum()
+        assert abs(took0.sum() - mean) < 5 * np.sqrt(var) + 1.0
+    # straight-line degenerate track must reproduce the simple source
+    from theia_tpu.light import CherenkovLightSource
+
+    straight = np.array(
+        [
+            [-100.0, 0.0, 0.0, -100.0 / u.c],
+            [0.0, 0.0, 0.0, 0.0],
+            [100.0, 0.0, 0.0, 100.0 / u.c],
+        ],
+        np.float32,
+    )
+    src2 = CherenkovTrackLightSource(ParticleTrack(straight), usePhotonCount=True)
+    simple = CherenkovLightSource(
+        trackStart=(-100.0, 0.0, 0.0),
+        trackEnd=(100.0, 0.0, 0.0),
+        startTime=-100.0 / u.c,
+        endTime=100.0 / u.c,
+        usePhotonCount=True,
+    )
+    r_t = sampleBackwardLight(
+        src2, obs, N, normal=nrm, wavelength=lam, medium=medium,
+        rng=PhiloxRNG(key=5),
+    )
+    r_s = sampleBackwardLight(
+        simple, obs, N, normal=nrm, wavelength=lam, medium=medium,
+        rng=PhiloxRNG(key=5),
+    )
+    assert np.allclose(r_t.contrib, r_s.contrib, rtol=2e-4, atol=1e-7)
+    ok = np.asarray(r_s.contrib) > 0
+    assert np.allclose(
+        np.asarray(r_t.position)[ok], np.asarray(r_s.position)[ok], atol=1e-3
+    )
+    assert np.allclose(
+        np.asarray(r_t.start_time)[ok], np.asarray(r_s.start_time)[ok], atol=1e-3
+    )

@@ -348,3 +348,87 @@ def test_histogram_per_detector_axis():
         np.testing.assert_allclose(per_det[d], ref)
     # ids outside [0, 3) are dropped entirely
     assert per_det.sum() == (np.isin(ids, [0, 1, 2])).sum()
+
+
+def test_store_time_acceptance_probability():
+    """StoreTimeHitResponse accepts each hit with probability equal to its
+    response value (reference: tests/test_response.py:254-300,
+    shader/response.time.store.glsl): acceptance rate tracks the value and
+    accepted records keep the hit's time/objectId."""
+    import jax.numpy as jnp
+
+    from theia_tpu.component import TraceConfig
+    from theia_tpu.response import CustomValueResponse, StoreTimeHitResponse
+    from theia_tpu.trace.core import HitItem
+
+    n = 16 * 1024
+    p_accept = 0.37
+
+    def value_fn(params, item, rng):
+        return jnp.full(item.time.shape, params["p"], jnp.float32), rng
+
+    resp = StoreTimeHitResponse(
+        CustomValueResponse(value_fn, params={"p": p_accept})
+    )
+    resp.prepare(TraceConfig(n, n, 1, 1.0 / n, False))
+    state = resp.init()
+
+    time = jnp.linspace(0.0, 50.0, n)
+    ids = jnp.arange(n, dtype=jnp.int32) % 7
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    item = HitItem(
+        position=zero3, direction=zero3, normal=zero3,
+        wavelength=jnp.full(n, 450.0, jnp.float32),
+        time=time, contrib=jnp.ones(n, jnp.float32), object_id=ids,
+    )
+    def _rng_state(key):
+        from theia_tpu.random import PhiloxRNG, RNGState
+
+        return RNGState(
+            key=PhiloxRNG(key=key).key_words,
+            counter=jnp.zeros((4,), jnp.uint32),
+            stream=jnp.arange(n, dtype=jnp.uint32),
+            dim=jnp.zeros((n,), jnp.uint32),
+        )
+
+    state, _ = resp.record(
+        resp.params(), state, item, jnp.ones(n, bool), _rng_state(11)
+    )
+
+    count = int(state["cursor"])
+    # binomial(n, p): 5 sigma bounds
+    sigma = np.sqrt(n * p_accept * (1 - p_accept))
+    assert abs(count - n * p_accept) < 5 * sigma, count
+    got_t = np.asarray(state["time"])[:count]
+    got_id = np.asarray(state["objectId"])[:count]
+    # accepted records preserve (time, objectId) pairing and order
+    t_np, id_np = np.asarray(time), np.asarray(ids)
+    order = np.searchsorted(t_np, got_t)
+    assert np.allclose(t_np[order], got_t, atol=1e-6)
+    assert np.array_equal(id_np[order], got_id)
+    assert int(state["overflow"]) == 0
+    # value > 1 accepts everything; masked lanes never record
+    def one_fn(params, item, rng):
+        return jnp.full(item.time.shape, 2.0, jnp.float32), rng
+
+    resp2 = StoreTimeHitResponse(CustomValueResponse(one_fn))
+    resp2.prepare(TraceConfig(n, n, 1, 1.0 / n, False))
+    s2 = resp2.init()
+    mask = jnp.arange(n) % 2 == 0
+    s2, _ = resp2.record({}, s2, item, mask, _rng_state(12))
+    assert int(s2["cursor"]) == n // 2
+
+
+def test_task_module_alias():
+    """`theia_tpu.task` (the reference's module name) is importable in all
+    forms and resolves to the pipeline implementations."""
+    import importlib
+
+    import theia_tpu
+    import theia_tpu.task as task_mod
+    from theia_tpu.task import ConvergeHistogramTask
+
+    assert task_mod.ConvergeHistogramTask is ConvergeHistogramTask
+    assert theia_tpu.task.ConvergeHistogramTask is ConvergeHistogramTask
+    pipeline = importlib.import_module("theia_tpu.pipeline")
+    assert ConvergeHistogramTask is pipeline.ConvergeHistogramTask

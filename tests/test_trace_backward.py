@@ -140,3 +140,52 @@ def test_backward_energy_conservation():
         total += (contrib * np.exp(mu_a * d)).sum()
     estimate = total / (64 * 1024 * n_batches)
     assert np.abs(estimate / BUDGET - 1.0) < 0.05
+
+
+@pytest.mark.slow
+def test_track_backward_matches_simple_cherenkov():
+    """A straight 2-segment ParticleTrack driven backward through the
+    volume backward tracer must reproduce the simple Cherenkov source's
+    light curve (the track source's backward mode is absent from the
+    reference — lightsource.cherenkov.track.glsl:78-79 TODO). Streams
+    diverge (0 vs 1 backward draw), so agreement is statistical."""
+    import theia_tpu.units as u
+    from theia_tpu.camera import PointCamera
+    from theia_tpu.light import (
+        CherenkovLightSource,
+        CherenkovTrackLightSource,
+        ParticleTrack,
+        UniformWavelengthSource,
+    )
+    from theia_tpu.response import HistogramHitResponse
+    from theia_tpu.testing import WaterTestModel
+
+    medium = WaterTestModel(mu_a=0.01, mu_s=0.03, g=0.4).createMedium()
+    verts = np.array(
+        [[-50.0, 0.0, 0.0, -50.0 / u.c], [0.0, 0.0, 0.0, 0.0],
+         [50.0, 0.0, 0.0, 50.0 / u.c]], np.float32,
+    )
+
+    def run(src, key):
+        tracer = VolumeBackwardTracer(
+            64 * 1024, src, PointCamera(position=(0.0, 10.0, 0.0)),
+            UniformWavelengthSource(lambdaRange=(420.0, 480.0)),
+            HistogramHitResponse(nBins=60, t0=0.0, binSize=2.0),
+            PhiloxRNG(key=key), medium=medium, nScattering=4,
+            maxTime=120.0, disableDirectLighting=True,
+        )
+        curve, _ = tracer.run()
+        return np.asarray(curve)
+
+    track = run(
+        CherenkovTrackLightSource(ParticleTrack(verts), usePhotonCount=True), 3
+    )
+    simple = run(
+        CherenkovLightSource(
+            trackStart=(-50.0, 0.0, 0.0), trackEnd=(50.0, 0.0, 0.0),
+            startTime=-50.0 / u.c, endTime=50.0 / u.c, usePhotonCount=True,
+        ), 3,
+    )
+    assert track.sum() > 0
+    assert abs(track.sum() / simple.sum() - 1.0) < 0.05
+    assert abs(int(np.argmax(track)) - int(np.argmax(simple))) <= 1

@@ -13,6 +13,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 from . import units as u
@@ -601,8 +602,14 @@ class CherenkovTrackLightSource(LightSource):
 
     name = "Cherenkov Track Light Source"
     supportForward = True
-    supportBackward = False
+    # backward mode is NOT in the reference (its shader stops at
+    # "TODO: Implement light sampling for backward mode ... weighted
+    # reservoir sampling", lightsource.cherenkov.track.glsl:78-79); the
+    # wavefront layout makes the weighted selection it suggests a plain
+    # vectorized cumsum over segments — see sample_backward
+    supportBackward = True
     nRNGForward = 2
+    nRNGBackward = 1
     _param_names = ("track",)
     _extra_names = ("usePhotonCount",)
 
@@ -637,16 +644,78 @@ class CherenkovTrackLightSource(LightSource):
         particle_dir = seg_vec / seg_len[..., None]
         ray_dir = _rotate_to(particle_dir, local)
 
-        ft = (
-            _frank_tamm_photons(constants.n, wavelength) / jnp.float32(2.0 * np.pi)
-            if self.usePhotonCount
-            else _frank_tamm_energy(constants.n, wavelength)
-        )
+        ft = self._ft_factor(constants.n, wavelength)
         contrib = jnp.float32(2.0 * np.pi) * n_seg * seg_len * ft
         pol_ref = normalize(jnp.cross(ray_dir, particle_dir))
         stokes = jnp.zeros((*time.shape, 4), jnp.float32)
         stokes = stokes.at[..., 0].set(1.0).at[..., 1].set(1.0)
         return SourceRay(pos, ray_dir, time, contrib, stokes, pol_ref), rng
+
+    def sample_backward(self, params, observer, normal, wavelength, constants, rng):
+        """Backward sample toward an observer: each straight segment has (at
+        most) one point whose Cherenkov cone passes through the observer
+        (the simple-source construction applied per segment); the total
+        backward contribution is the sum over segments, estimated by picking
+        one candidate with probability proportional to its contribution and
+        carrying the sum. The reference leaves this unimplemented
+        (lightsource.cherenkov.track.glsl:78-79 TODO) — the weighted
+        selection it sketches is one vectorized cumsum here."""
+        track = params["track"]  # (L, 4)
+        v0 = track[:-1]  # (S, 4)
+        v1 = track[1:]
+        seg_vec = v1[:, :3] - v0[:, :3]  # (S, 3)
+        seg_len = jnp.sqrt(jnp.maximum((seg_vec**2).sum(-1), 1e-30))  # (S,)
+        seg_dir = seg_vec / seg_len[:, None]
+
+        cos_theta = 1.0 / constants.n  # (N,)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+
+        # per (lane, segment) emission point: observer (N,1,3) vs segs (S,3)
+        rel = observer[..., None, :] - v0[None, :, :3]  # (N, S, 3)
+        mu = (rel * seg_dir[None]).sum(-1)  # (N, S)
+        c_point = v0[None, :, :3] + mu[..., None] * seg_dir[None]
+        d_perp = jnp.sqrt(
+            jnp.maximum(((observer[..., None, :] - c_point) ** 2).sum(-1), 1e-30)
+        )
+        mu = mu - (cos_theta / jnp.maximum(sin_theta, 1e-7))[..., None] * d_perp
+        position = v0[None, :, :3] + mu[..., None] * seg_dir[None]  # (N, S, 3)
+        ray_dir = normalize(observer[..., None, :] - position)  # (N, S, 3)
+        frac = mu / seg_len[None]
+        time = v0[None, :, 3] * (1.0 - frac) + v1[None, :, 3] * frac  # (N, S)
+
+        ft = self._ft_factor(constants.n, wavelength)  # (N,)
+        is_zero = dot(normal, normal) == 0.0
+        cos_nrm = jnp.where(
+            is_zero[..., None], 1.0, (ray_dir * normal[..., None, :]).sum(-1)
+        )
+        cos_nrm = jnp.maximum(cos_nrm, 0.0)
+        on_seg = (mu >= 0.0) & (mu <= seg_len[None])
+        contrib_s = ft[..., None] * cos_nrm / d_perp * on_seg.astype(jnp.float32)
+
+        # pick one candidate ~ contribution; the lane carries the sum
+        total = contrib_s.sum(-1)  # (N,)
+        uu, rng = rng.uniform()
+        cum = jnp.cumsum(contrib_s, axis=-1)
+        k = jnp.sum(cum < (uu * total)[..., None], axis=-1)
+        k = lax.stop_gradient(jnp.minimum(k, contrib_s.shape[-1] - 1))
+
+        take = lambda a: jnp.take_along_axis(
+            a, k[..., None, None] if a.ndim == 3 else k[..., None], axis=1
+        ).squeeze(1)
+        pos_k = take(position)
+        dir_k = take(ray_dir)
+        time_k = take(time)
+        pol_ref = normalize(jnp.cross(dir_k, jnp.take(seg_dir, k, axis=0)))
+        stokes = jnp.zeros((*total.shape, 4), jnp.float32)
+        stokes = stokes.at[..., 0].set(1.0).at[..., 1].set(1.0)
+        return SourceRay(pos_k, dir_k, time_k, total, stokes, pol_ref), rng
+
+    def _ft_factor(self, n, lam):
+        return (
+            _frank_tamm_photons(n, lam) / jnp.float32(2.0 * np.pi)
+            if self.usePhotonCount
+            else _frank_tamm_energy(n, lam)
+        )
 
 
 def _sample_emission_angle(n, a, b, uu):
