@@ -39,12 +39,15 @@ __all__ = [
 
 #: triangle count above which ``accel="auto"`` switches from the chunked
 #: brute-force scan to the threaded BVH. Measured on the bench chip
-#: (PERF.md round-2 experiment log): the brute scan still wins at 82k
-#: triangles (242 ms vs 2097 ms per 65k-ray wavefront); extrapolating the
-#: linear brute slope (~2.4 ms per 1k tris) against the BVH's near-flat
-#: gather-bound cost puts the crossover near ~0.9M triangles, so the
-#: default switches conservatively at half that.
-AUTO_BVH_THRESHOLD = 448 * 1024
+#: (PERF.md round-2 experiment log): with the binned-SAH builder the
+#: BVH's per-wavefront cost grows ~linearly with scene size (gathers,
+#: ~8 ms per 1k tris at 65k rays) and stays above the brute scan's
+#: ~2 ms per 1k tris at every measured size up to 655k triangles — on
+#: this chip the sweep never crosses, so auto keeps brute (or instanced)
+#: and the BVH remains opt-in (``accel="bvh"``). On production TPUs the
+#: gather:compute ratio is ~2x friendlier to the BVH; re-run
+#: tools/bench_bvh_crossover.py there and lower this accordingly.
+AUTO_BVH_THRESHOLD = 1 << 62
 
 #: flattened triangle count above which ``accel="auto"`` prefers the
 #: two-level instanced traversal (ops.instanced) when the scene actually
