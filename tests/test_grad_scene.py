@@ -356,3 +356,54 @@ def test_backward_geometry_gradient_through_bounce():
     fd = (float(loss(jnp.float32(eps))) - float(loss(jnp.float32(-eps)))) / (2 * eps)
     assert np.sign(g) == np.sign(fd), (g, fd)
     assert 0.4 < abs(g / fd) < 2.5, (g, fd)
+
+
+def test_detector_position_gradient():
+    """Detector-geometry calibration: d(light curve)/d(module position) via
+    ScenePack.translate_instance must be finite and FD-consistent — the
+    flip side of the source-position gradient (geometry arrays are traced
+    params; hit reconstruction + reattachment carry the derivative)."""
+    from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+    from theia_tpu.random import PhiloxRNG
+    from theia_tpu.response import KernelHistogramHitResponse
+    from theia_tpu.scene import MeshStore, Scene, Transform
+    from theia_tpu.testing import WaterTestModel
+    from theia_tpu.trace import SceneForwardTracer
+
+    medium = WaterTestModel(mu_a=0.01, mu_s=0.02, g=0.3).createMedium()
+    mats = MaterialStore.pack([Material("det", None, medium, flags="DB")])
+    meshes = MeshStore({"sphere": "/root/reference/assets/sphere.stl"})
+    inst = meshes.createInstance(
+        "sphere", "det", Transform.TRS(scale=0.5, translate=(3.0, 0.0, 0.0)),
+        detectorId=0,
+    )
+    scene = Scene([inst], mats, medium="water_test", accel="brute")
+    tracer = SceneForwardTracer(
+        4 * 1024,
+        SphericalLightSource(position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1e6),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        KernelHistogramHitResponse(nBins=30, t0=0.0, binSize=1.5),
+        PhiloxRNG(key=0xD07),
+        scene, maxPathLength=4, maxTime=40.0,
+    )
+    fn, (p0, counter, streams) = tracer.trace_fn()
+
+    def curves(x):
+        p = dict(p0)
+        p["scene"] = p["scene"].translate_instance(
+            0, jnp.stack([x, jnp.float32(0.0), jnp.float32(0.0)])
+        )
+        return fn(p, counter, streams)[0]
+
+    obs = curves(jnp.float32(0.4))
+
+    def loss(x):
+        c = curves(x)
+        return jnp.sum((c - obs) ** 2) / jnp.sum(obs**2)
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    assert np.isfinite(g)
+    eps = 2e-2
+    fd = (float(loss(jnp.float32(eps))) - float(loss(jnp.float32(-eps)))) / (2 * eps)
+    assert np.sign(g) == np.sign(fd), (g, fd)
+    assert 0.3 < abs(g / fd) < 3.0, (g, fd)

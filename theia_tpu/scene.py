@@ -286,6 +286,42 @@ class ScenePack:
     # optional two-level instanced traversal tables (ops.instanced)
     instanced: "object | None" = None
 
+    def translate_instance(self, instance_id: int, delta) -> "ScenePack":
+        """Return a pack with instance ``instance_id`` rigidly shifted by
+        ``delta`` (world space) — jit-safe and differentiable, enabling
+        detector-geometry calibration: ``jax.grad`` of a light curve with
+        respect to a module's position (the geometry arrays live in the
+        params pytree, and ``intersect_scene`` recomputes the winning
+        hit differentiably; geometric distances are gradient-reattached,
+        see trace/core.reattach_geometry).
+
+        Only the brute-scan tables are rewritten; accelerated packs
+        (bvh/woop/mt/instanced) bake world geometry into their own
+        structures and would go stale."""
+        if any(x is not None for x in (self.bvh, self.woop, self.mt, self.instanced)):
+            raise ValueError(
+                "translate_instance requires accel='brute' (accelerated "
+                "packs bake world-space geometry)"
+            )
+        delta = jnp.asarray(delta, jnp.float32)
+        tri_mask = (self.tri_data[:, 27] == float(instance_id))[:, None]
+        w_v0 = self.w_v0 + tri_mask * delta
+        tri_data = self.tri_data.at[:, 18:21].add(tri_mask * delta)
+
+        inst = self.inst_data
+        row = inst[instance_id]
+        # obj_to_world [R|t] rows flat at 12:24 -> t entries 15, 19, 23
+        o2w_t = jnp.array([15, 19, 23])
+        row = row.at[o2w_t].add(delta)
+        # world_to_obj [R'|t']: new t' = t' - R' @ delta
+        r_w2o = row[0:12].reshape(3, 4)[:, :3]
+        w2o_t = jnp.array([3, 7, 11])
+        row = row.at[w2o_t].add(-(r_w2o @ delta))
+        inst_data = inst.at[instance_id].set(row)
+        from dataclasses import replace as _dc_replace
+
+        return _dc_replace(self, w_v0=w_v0, tri_data=tri_data, inst_data=inst_data)
+
 
 class Scene:
     """Scene = instances + material store + surrounding medium
