@@ -21,6 +21,7 @@ CASES = [
     ("07_scene_render.py", "pixels hit geometry"),
     ("08_detector_array.py", "per-module light curves recorded"),
     ("09_source_reconstruction.py", "flash position recovered"),
+    ("10_geometry_calibration.py", "module position calibrated"),
 ]
 
 
