@@ -61,3 +61,38 @@ def test_sample_table1d():
     t = sample_table1d(data, nx=33)
     assert t.shape == (33,)
     assert np.allclose(t, np.linspace(5, 9, 33), atol=1e-5)
+
+
+def test_sample_table2d_reference_axis_order_and_hull_fill():
+    """sample_table2d keeps the reference's meshgrid-'xy' axis order
+    (values[i_y, i_x]; pinned by the reference's own bounds test,
+    ref tests/test_lookup.py:117-131) and fills grid points outside the
+    data's convex hull by nearest neighbor instead of baking NaN."""
+    import warnings as _warnings
+
+    from theia_tpu.lookup import sample_table2d
+
+    x = np.array([0.0, 0.0, 10.0, 10.0])
+    y = np.array([0.0, 10.0, 0.0, 10.0])
+    data = np.stack([x, y, x + y], axis=-1)
+    sample = sample_table2d(data, 100, 100, boundaries=(None, (3.0, 8.0)))
+    assert sample.shape == (100, 100)
+    flat = sample.flatten()
+    # first row: y = 3 fixed, x spans [0, 10] -> z in [3, 13]
+    assert abs(flat[:100].min() - 3.0) < 1e-5
+    assert abs(flat[:100].max() - 13.0) < 1e-5
+    # first column: x = 0 fixed, y spans [3, 8] -> z in [3, 8]
+    assert abs(flat[::100].min() - 3.0) < 1e-5
+    assert abs(flat[::100].max() - 8.0) < 1e-5
+
+    # scattered data whose hull misses the bbox corners: no NaN in the
+    # output, and a warning tells the user extrapolation happened
+    rng = np.random.default_rng(5)
+    pts = rng.random((40, 2))
+    pts = pts[np.abs(pts - 0.5).sum(-1) < 0.45]  # diamond: corners outside
+    dat = np.stack([pts[:, 0], pts[:, 1], pts.sum(-1)], axis=-1)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        table = sample_table2d(dat, 32, 32)
+    assert np.isfinite(table).all()
+    assert any("convex hull" in str(x.message) for x in w)

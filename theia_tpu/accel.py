@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .ops.math3d import dot, normalize, sign_bit
+from .ops.math3d import dot, moeller_trumbore_rowwise, normalize, sign_bit
 from .scene import ScenePack
 from .trace.core import EventResultCode
 
@@ -235,26 +235,15 @@ def intersect_scene(
     inst = row[:, 27].astype(jnp.int32)
 
     # winner barycentrics (Moeller-Trumbore on the world triangle)
-    px = direction[:, 1] * we2[:, 2] - direction[:, 2] * we2[:, 1]
-    py = direction[:, 2] * we2[:, 0] - direction[:, 0] * we2[:, 2]
-    pz = direction[:, 0] * we2[:, 1] - direction[:, 1] * we2[:, 0]
-    det = we1[:, 0] * px + we1[:, 1] * py + we1[:, 2] * pz
-    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tx = origin[:, 0] - wv0[:, 0]
-    ty = origin[:, 1] - wv0[:, 1]
-    tz = origin[:, 2] - wv0[:, 2]
-    b1 = (tx * px + ty * py + tz * pz) * inv
-    qx = ty * we1[:, 2] - tz * we1[:, 1]
-    qy = tz * we1[:, 0] - tx * we1[:, 2]
-    qz = tx * we1[:, 1] - ty * we1[:, 0]
-    b2 = (direction[:, 0] * qx + direction[:, 1] * qy + direction[:, 2] * qz) * inv
+    b1, b2, t_win, inv = moeller_trumbore_rowwise(
+        origin, direction, wv0, we1, we2
+    )
     # differentiable winner t (equals the selected backend t up to fp);
     # if the world-space det underflows the degeneracy cutoff for a hit
     # the backend validly selected (possible for extreme grazing hits —
     # the instanced backend tests in scale-normalized object space whose
     # det can sit on the other side of the absolute epsilon), fall back
     # to the backend's own t instead of emitting a corrupted t = 0
-    t_win = (we2[:, 0] * qx + we2[:, 1] * qy + we2[:, 2] * qz) * inv
     t = jnp.where(valid, jnp.where(inv != 0.0, t_win, t_sel), jnp.inf)
 
     bb1, bb2 = b1[:, None], b2[:, None]

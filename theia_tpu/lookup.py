@@ -15,6 +15,7 @@ with two TPU-native changes:
 
 from __future__ import annotations
 
+import warnings
 from typing import Literal
 
 import jax
@@ -166,7 +167,11 @@ def sample_table2d(
     mode: Literal["linear", "cubic"] = "linear",
 ) -> np.ndarray:
     """Resample scattered (x, y, f(x,y)) data of shape (N, 3) onto a regular
-    (nx, ny) grid; returns the float32 table values."""
+    grid; returns float32 values of shape (ny, nx) — axis 0 is the SECOND
+    input column (reference meshgrid-'xy' convention, pinned by the
+    reference's tests), so ``lookup2d(table, u, v)`` reads u = normalized
+    y and v = normalized x. Grid points outside the data's convex hull
+    are filled by nearest neighbor (with a warning)."""
     data = np.asarray(data)
     if boundaries is None:
         x = _parse_boundary(data[:, 0], None, nx)
@@ -176,6 +181,9 @@ def sample_table2d(
         y = _parse_boundary(data[:, 1], boundaries[1], ny)
     else:
         raise ValueError("Can't parse given boundaries!")
+    # NOTE axis order: like the reference (meshgrid 'xy' indexing,
+    # pinned by its own test suite) the result is values[i_y, i_x] —
+    # shape (ny, nx), so lookup2d reads it with u = y-coord, v = x-coord.
     xg, yg = np.meshgrid(x, y)
     if mode == "linear":
         model = LinearNDInterpolator
@@ -184,12 +192,31 @@ def sample_table2d(
     else:
         raise ValueError("Unknown interpolation mode!")
     interp = model(data[:, :2], data[:, 2])
-    return interp(xg, yg).astype(np.float32)
+    values = interp(xg, yg).astype(np.float32)
+    # scipy's simplex interpolators return NaN outside the convex hull of
+    # the scattered inputs (the grid's corners usually are outside it);
+    # baking NaN into a device table would poison every lookup touching
+    # it, so fill those cells by nearest-neighbor extrapolation
+    bad = ~np.isfinite(values)
+    if bad.any():
+        from scipy.interpolate import NearestNDInterpolator
+
+        warnings.warn(
+            f"sample_table2d: {int(bad.sum())} grid points outside the "
+            "convex hull of the data; filled by nearest neighbor"
+        )
+        nearest = NearestNDInterpolator(data[:, :2], data[:, 2])
+        values[bad] = nearest(xg[bad], yg[bad]).astype(np.float32)
+    return values
 
 
 def eval_table(f, *axes_spec) -> np.ndarray:
     """Sample ``f`` on a regular grid; each axis spec is either ``n`` (grid
-    over [0,1]) or ``(min, max, n)``. Returns float32 values."""
+    over [0,1]) or ``(min, max, n)``. Returns float32 values with axis k
+    matching spec k ('ij' indexing — intentionally unlike
+    :func:`sample_table2d`'s reference-parity 'xy' order; the reference's
+    own ``evalTable`` is unusable as published, it calls a nonexistent
+    ``list.push``)."""
 
     def make_axis(spec):
         if isinstance(spec, int):

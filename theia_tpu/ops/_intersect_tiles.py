@@ -42,8 +42,12 @@ def rcp(v):
 
 def safe(v):
     """Slab-test reciprocals must stay finite: 0*inf = nan would leak
-    into the min/max chain and could falsely cull a tile."""
-    return jnp.where(jnp.abs(v) < 1e-20, 1e-20, v)
+    into the min/max chain and could falsely cull a tile. The clamp
+    preserves the component's sign — flipping it would invert the slab
+    interval and falsely cull."""
+    return jnp.where(
+        jnp.abs(v) < 1e-20, jnp.where(v < 0.0, -1e-20, 1e-20), v
+    )
 
 
 def tile_aabbs(v0, e1, e2, n_tri: int, n_tiles: int, bt: int) -> np.ndarray:
@@ -63,8 +67,18 @@ def tile_aabbs(v0, e1, e2, n_tri: int, n_tiles: int, bt: int) -> np.ndarray:
         p = np.concatenate(
             [pts[s], pts[n_tri:][s], pts[2 * n_tri:][s]], axis=0
         )
-        aabb[k, 0:3] = p.min(0)
-        aabb[k, 4:7] = p.max(0)
+        # conservative rounding: float64 inputs round toward the outside
+        # of the box so the f32 AABB always contains the true extent
+        # (round-to-nearest could shrink it by half an ulp and cull a
+        # grazing hit)
+        lo = p.min(0)
+        hi = p.max(0)
+        lo32 = lo.astype(np.float32)
+        hi32 = hi.astype(np.float32)
+        lo32 = np.where(lo32 > lo, np.nextafter(lo32, -np.inf), lo32)
+        hi32 = np.where(hi32 < hi, np.nextafter(hi32, np.inf), hi32)
+        aabb[k, 0:3] = lo32
+        aabb[k, 4:7] = hi32
     return aabb
 
 
@@ -189,5 +203,9 @@ def run_binned(query, lo, hi, origin, direction, t_max):
     order = jnp.argsort(octant_cell_key(lo, hi, origin, direction))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     t, idx = query(origin[order], direction[order], t_max[order])
-    inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
-    return t[inv], idx[inv]
+    # scatter straight back to lane order (cheaper than building an
+    # explicit inverse permutation and gathering through it)
+    return (
+        jnp.zeros_like(t).at[order].set(t),
+        jnp.zeros_like(idx).at[order].set(idx),
+    )

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .math3d import moeller_trumbore_rowwise
+
 __all__ = ["PackedBVH", "nearest_triangle_bvh", "pack_bvh"]
 
 #: bits reserved for the leaf triangle count in the packed start/count
@@ -95,7 +97,13 @@ def nearest_triangle_bvh(packed, origin, direction, t_max):
     returns (t, tri_idx), idx = -1 on miss (original triangle ids)."""
     n = origin.shape[0]
     leaf_size = packed.leaf_size
-    inv_dir = 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction, 1e-12)
+    # sign-preserving clamp (see ops/instanced.py): a flipped sign would
+    # invert the slab interval and cull a true node
+    inv_dir = 1.0 / jnp.where(
+        jnp.abs(direction) > 1e-12,
+        direction,
+        jnp.where(direction < 0.0, -1e-12, 1e-12),
+    )
 
     t_best = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     idx_best = jnp.full((n,), -1, jnp.int32)
@@ -107,20 +115,9 @@ def nearest_triangle_bvh(packed, origin, direction, t_max):
         tri = base + k
         row = jnp.take(tri_tab, tri, axis=0, mode="clip")  # (N, 9)
         v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
-        px = direction[:, 1] * e2[:, 2] - direction[:, 2] * e2[:, 1]
-        py = direction[:, 2] * e2[:, 0] - direction[:, 0] * e2[:, 2]
-        pz = direction[:, 0] * e2[:, 1] - direction[:, 1] * e2[:, 0]
-        det = e1[:, 0] * px + e1[:, 1] * py + e1[:, 2] * pz
-        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        tx = origin[:, 0] - v0[:, 0]
-        ty = origin[:, 1] - v0[:, 1]
-        tz = origin[:, 2] - v0[:, 2]
-        b1 = (tx * px + ty * py + tz * pz) * inv
-        qx = ty * e1[:, 2] - tz * e1[:, 1]
-        qy = tz * e1[:, 0] - tx * e1[:, 2]
-        qz = tx * e1[:, 1] - ty * e1[:, 0]
-        b2 = (direction[:, 0] * qx + direction[:, 1] * qy + direction[:, 2] * qz) * inv
-        t = (e2[:, 0] * qx + e2[:, 1] * qy + e2[:, 2] * qz) * inv
+        b1, b2, t, inv = moeller_trumbore_rowwise(
+            origin, direction, v0, e1, e2
+        )
         # shared-edge tolerance matching accel._nearest_triangle
         hit = (
             active

@@ -38,21 +38,31 @@ def sample_gamma(alpha, rng: RNGState) -> tuple[jax.Array, RNGState]:
     b = a_eff - jnp.log(4.0)
     c = a_eff + lam
 
+    # iteration cap: Cheng's GA accepts with probability > 1/3 per try for
+    # valid alpha, so 64 rounds leave ~0 unaccepted lanes; the cap exists
+    # because an invalid lane (alpha <= 0 or NaN from upstream) would
+    # otherwise never accept and deadlock the whole device program —
+    # such lanes exit as NaN instead
+    max_rounds = 64
+
     def cond(carry):
-        accepted, _, _ = carry
-        return ~jnp.all(accepted)
+        accepted, _, _, i = carry
+        return ~jnp.all(accepted) & (i < max_rounds)
 
     def body(carry):
-        accepted, x, rng = carry
+        accepted, x, rng, i = carry
         (u1, u2), rng = rng.uniform2d()
         u1 = jnp.clip(u1, 1e-7, 1.0 - 1e-7)
         v = jnp.log(u1 / (1.0 - u1)) / lam
         cand = a_eff * jnp.exp(v)
         ok = (b + c * v - cand) >= jnp.log(u1 * u1 * u2)
         x = jnp.where(~accepted & ok, cand, x)
-        return accepted | ok, x, rng
+        return accepted | ok, x, rng, i + 1
 
     accepted = jnp.zeros(shape, bool)
     x = jnp.zeros(shape, jnp.float32)
-    accepted, x, rng = lax.while_loop(cond, body, (accepted, x, rng))
+    accepted, x, rng, _ = lax.while_loop(
+        cond, body, (accepted, x, rng, jnp.int32(0))
+    )
+    x = jnp.where(accepted, x, jnp.float32(jnp.nan))
     return scale * x, rng

@@ -220,7 +220,13 @@ def _group_query(
 ):
     from ..accel import nearest_in_soup
 
-    inv_dir = 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction, 1e-12)
+    # preserve the component's sign when clamping: replacing -1e-13 by
+    # +1e-12 would flip the slab interval and cull a true candidate
+    inv_dir = 1.0 / jnp.where(
+        jnp.abs(direction) > 1e-12,
+        direction,
+        jnp.where(direction < 0.0, -1e-12, 1e-12),
+    )
     neg_inf = jnp.full(origin.shape[:1], -jnp.inf, jnp.float32)
 
     def clamp(t_best, idx_best):

@@ -1,8 +1,12 @@
 """Pallas VPU kernel: Moeller-Trumbore scan with per-tile AABB culling.
 
 Same contract and tiling skeleton as :mod:`intersect_woop` but the
-per-pair test runs entirely on the VPU in f32 (exact MT, identical
-semantics to ``accel._nearest_triangle``). Triangle components are laid
+per-pair test runs entirely on the VPU in f32 — the same Moeller-Trumbore
+formulation as ``accel._nearest_triangle``, except 1/det and t use the
+hardware reciprocal plus one Newton step (~1e-7 relative error), so
+winners whose distances differ by less than that may pick a different
+(equally valid) triangle than the XLA scan; the cross-backend tests
+compare with matching tolerances. Triangle components are laid
 out as (T_tiles, 9, BT) rows so each tile's operands broadcast from
 (1, BT) against per-ray (BN, 1) columns.
 

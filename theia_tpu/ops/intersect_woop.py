@@ -23,7 +23,7 @@ nearly free otherwise). The triangle table stays resident in VMEM across
 the ray-block grid.
 
 The winning triangle's barycentrics are NOT returned; callers recompute
-them exactly for the single winner (see ``accel._winner_barycentrics``).
+them exactly for the single winner (inline in ``accel.intersect_scene``).
 """
 
 from __future__ import annotations

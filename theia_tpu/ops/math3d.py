@@ -24,6 +24,7 @@ __all__ = [
     "perpendicular_to2",
     "perpendicular_to_z_and",
     "intersect_sphere",
+    "moeller_trumbore_rowwise",
 ]
 
 INF = jnp.float32(jnp.inf)
@@ -137,3 +138,30 @@ def intersect_sphere(
     t_far = jnp.maximum(t1, t2)
     miss = discr < 0.0
     return jnp.where(miss, INF, t_near), jnp.where(miss, INF, t_far)
+
+
+def moeller_trumbore_rowwise(origin, direction, v0, e1, e2):
+    """Row-wise Moeller-Trumbore: one (N,)-lane ray against one (N,)-lane
+    triangle (v0, e1, e2). Returns (b1, b2, t, inv) with ``inv = 0`` for
+    degenerate (|det| <= 1e-12) pairs — callers gate hits on ``inv != 0``
+    and their own barycentric/t tolerances.
+
+    This is the single normative formulation; the chunked scan in
+    accel._nearest_triangle and the Pallas kernels restate the same
+    arithmetic in their own layouts (and must keep the 1e-12 degeneracy /
+    -1e-6 barycentric tolerances in sync with it)."""
+    px = direction[:, 1] * e2[:, 2] - direction[:, 2] * e2[:, 1]
+    py = direction[:, 2] * e2[:, 0] - direction[:, 0] * e2[:, 2]
+    pz = direction[:, 0] * e2[:, 1] - direction[:, 1] * e2[:, 0]
+    det = e1[:, 0] * px + e1[:, 1] * py + e1[:, 2] * pz
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tx = origin[:, 0] - v0[:, 0]
+    ty = origin[:, 1] - v0[:, 1]
+    tz = origin[:, 2] - v0[:, 2]
+    b1 = (tx * px + ty * py + tz * pz) * inv
+    qx = ty * e1[:, 2] - tz * e1[:, 1]
+    qy = tz * e1[:, 0] - tx * e1[:, 2]
+    qz = tx * e1[:, 1] - ty * e1[:, 0]
+    b2 = (direction[:, 0] * qx + direction[:, 1] * qy + direction[:, 2] * qz) * inv
+    t = (e2[:, 0] * qx + e2[:, 1] * qy + e2[:, 2] * qz) * inv
+    return b1, b2, t, inv
