@@ -1,10 +1,15 @@
-"""Triangle-mesh loading (STL/PLY) without external dependencies.
+"""Triangle-mesh loading (STL/PLY/OBJ) without external dependencies.
 
 The reference delegates to trimesh (reference: src/theia/scene.py:434-449);
-this environment has no trimesh, so we parse the two formats its assets use
-directly. Loading mirrors trimesh's default processing: duplicate vertices
-are welded and vertex normals are computed as area-weighted averages of the
-incident face normals.
+this environment has no trimesh, so we parse the formats its assets and
+scene templates use directly. Loading mirrors trimesh's default
+processing: duplicate vertices are welded and vertex normals are computed
+as area-weighted averages of the incident face normals. Wavefront OBJ
+additionally carries named objects and material assignments (``o`` /
+``usemtl``), which :func:`loadObjScene` preserves for
+:class:`~theia_tpu.render.SceneTemplate` (the reference's file-based
+template path, src/theia/scene.py:750-817, reads the same name/material
+metadata through trimesh's scene graph).
 """
 
 from __future__ import annotations
@@ -15,7 +20,7 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["Mesh", "loadMesh"]
+__all__ = ["Mesh", "ObjObject", "loadMesh", "loadObjScene"]
 
 
 @dataclass
@@ -188,8 +193,91 @@ def _fan_triangulate(rows) -> np.ndarray:
     return np.asarray(tris, np.int64)
 
 
+@dataclass
+class ObjObject:
+    """One named object of an OBJ file with its material assignment."""
+
+    name: str
+    material: str | None
+    mesh: Mesh
+
+
+def _parse_obj(path: Path):
+    """Parse an OBJ file into vertices + (name, material, faces) groups.
+
+    A new group starts whenever the object (``o``/``g``) or the active
+    material (``usemtl``) changes; polygons are fan-triangulated and
+    negative (relative) indices resolved per the OBJ spec.
+    """
+    verts: list[list[float]] = []
+    groups: list[tuple[str, str | None, list[list[int]]]] = []
+    cur_name: str | None = None
+    cur_mat: str | None = None
+    cur_faces: list[list[int]] = []
+    names_seen: dict[str, int] = {}
+
+    def flush() -> None:
+        nonlocal cur_faces
+        if cur_faces:
+            base = cur_name if cur_name else "mesh"
+            n = names_seen.get(base, 0)
+            names_seen[base] = n + 1
+            name = base if n == 0 else f"{base}.{n:03d}"
+            groups.append((name, cur_mat, cur_faces))
+            cur_faces = []
+
+    for raw in path.read_text().splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        tag = parts[0]
+        if tag == "v":
+            verts.append([float(x) for x in parts[1:4]])
+        elif tag in ("o", "g"):
+            flush()
+            cur_name = parts[1] if len(parts) > 1 else None
+        elif tag == "usemtl":
+            flush()
+            cur_mat = parts[1] if len(parts) > 1 else None
+        elif tag == "f":
+            idx = []
+            for tok in parts[1:]:
+                i = int(tok.split("/")[0])
+                idx.append(i - 1 if i > 0 else len(verts) + i)
+            for k in range(1, len(idx) - 1):
+                cur_faces.append([idx[0], idx[k], idx[k + 1]])
+    flush()
+    return np.asarray(verts, np.float64).reshape(-1, 3), groups
+
+
+def loadObjScene(filepath) -> list[ObjObject]:
+    """Load an OBJ file as a list of named, material-tagged objects.
+
+    The per-object vertex sets are compacted (only referenced vertices
+    kept) before welding/normal generation, so each object is a
+    self-contained :class:`Mesh` — the analogue of the reference's
+    trimesh scene-graph geometries (src/theia/scene.py:761-790)."""
+    path = Path(filepath)
+    verts, groups = _parse_obj(path)
+    out = []
+    for name, mat, faces in groups:
+        f = np.asarray(faces, np.int64)
+        used = np.unique(f)
+        remap = np.full(len(verts), -1, np.int64)
+        remap[used] = np.arange(len(used))
+        out.append(ObjObject(name, mat, Mesh.from_geometry(verts[used], remap[f])))
+    return out
+
+
+def _load_obj(path: Path) -> Mesh:
+    verts, groups = _parse_obj(path)
+    faces = [f for _, _, fs in groups for f in fs]
+    return Mesh.from_geometry(verts, np.asarray(faces, np.int64))
+
+
 def loadMesh(filepath) -> Mesh:
-    """Load a mesh from an STL or PLY file
+    """Load a mesh from an STL, PLY or OBJ file
     (reference: src/theia/scene.py:444-449)."""
     path = Path(filepath)
     suffix = path.suffix.lower()
@@ -197,4 +285,6 @@ def loadMesh(filepath) -> Mesh:
         return _load_stl(path)
     if suffix == ".ply":
         return _load_ply(path)
+    if suffix == ".obj":
+        return _load_obj(path)
     raise ValueError(f"unsupported mesh format: {suffix}")

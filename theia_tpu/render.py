@@ -6,9 +6,10 @@ src/theia/scene.py:938-1133, shader/scene.render.glsl).
 
 :class:`SceneTemplate` stamps a template scene (instances with named
 materials and detector ids) across a list of transforms — for detector
-arrays (reference: src/theia/scene.py:713-935; the reference loads 3D
-files via trimesh's scene graph, here templates are described
-programmatically since the environment ships no trimesh)."""
+arrays (reference: src/theia/scene.py:713-935). Templates are built
+programmatically from :class:`MeshInstance` lists or loaded from OBJ
+files with named objects + material tags (:meth:`SceneTemplate.fromFile`,
+matching the reference's trimesh-scene-graph loading)."""
 
 from __future__ import annotations
 
@@ -88,17 +89,90 @@ class SceneRender:
 
 
 class SceneTemplate:
-    """A reusable set of instance blueprints to stamp across transforms."""
+    """A reusable set of instance blueprints to stamp across transforms.
 
-    def __init__(self, instances: list[MeshInstance]) -> None:
+    Built either programmatically from :class:`MeshInstance` blueprints or
+    from an OBJ file carrying named objects + material assignments
+    (:meth:`fromFile` — the reference's file-based template path,
+    src/theia/scene.py:750-817). File templates use the reference's
+    detector-id *stride* semantics: each stamped copy offsets all nonzero
+    detector ids by ``idStride`` so every detector in the array stays
+    uniquely addressable (ref src/theia/scene.py:905-931)."""
+
+    def __init__(
+        self, instances: list[MeshInstance], *, idStride: int | None = None
+    ) -> None:
         self._instances = instances
+        self._id_stride = idStride
         self._next_detector = max(
             (i.detectorId for i in instances), default=-1
         ) + 1
 
+    @classmethod
+    def fromFile(
+        cls,
+        file,
+        *,
+        templateTransform: Transform | None = None,
+        detectorIdMap: dict[str, int] | None = None,
+        detectorMaterial: set[str] | None = None,
+    ) -> "SceneTemplate":
+        """Load a template from an OBJ file with named objects + usemtl
+        material tags (reference: src/theia/scene.py:750-817, which reads
+        the same metadata through trimesh).
+
+        Detector-id assignment mirrors the reference: an explicit
+        ``detectorIdMap`` (unmapped instances get 0), or unique ids for
+        instances whose material is in ``detectorMaterial``, or — by
+        default — a unique id per instance starting from 1."""
+        from .mesh import loadObjScene
+
+        objs = loadObjScene(file)
+        next_id = 1
+        instances = []
+        for o in objs:
+            if not o.material:
+                raise ValueError(f'Mesh "{o.name}" has no material assigned!')
+            if detectorIdMap is not None:
+                det = detectorIdMap.get(o.name, 0)
+            elif detectorMaterial is not None:
+                det = 0
+                if o.material in detectorMaterial:
+                    det = next_id
+                    next_id += 1
+            else:
+                det = next_id
+                next_id += 1
+            trafo = (
+                templateTransform if templateTransform is not None else Transform()
+            )
+            instances.append(MeshInstance(o.name, o.mesh, o.material, trafo, det))
+        return cls(instances, idStride=next_id - 1)
+
     @property
     def instances(self) -> list[MeshInstance]:
         return self._instances
+
+    @property
+    def idStride(self) -> int | None:
+        """Detector-id offset between stamped copies (file templates)."""
+        return self._id_stride
+
+    def detectorIds(
+        self, nCopies: int, *, detectorIdStride: int | None = None
+    ) -> dict[tuple[str, int], int]:
+        """Map (instance name, copy index) -> detectorId for a stamped
+        scene (the reference returns this map from createScene,
+        src/theia/scene.py:911-921)."""
+        stride = detectorIdStride if detectorIdStride is not None else (
+            self._id_stride or 0
+        )
+        out = {}
+        for i in range(nCopies):
+            for proto in self._instances:
+                if proto.detectorId != 0:
+                    out[(proto.key, i)] = proto.detectorId + i * stride
+        return out
 
     def createScene(
         self,
@@ -110,19 +184,41 @@ class SceneTemplate:
         assignDetectorIds: bool = True,
         accel: str = "auto",
         leaf_size: int = 8,
+        detectorIdStride: int | None = None,
+        sceneTransform: Transform | None = None,
     ) -> Scene:
         """Stamp the template once per transform
-        (reference: src/theia/scene.py:713-935 SceneTemplate)."""
+        (reference: src/theia/scene.py:713-935 SceneTemplate).
+
+        In-memory templates assign one detector id per stamped copy;
+        file templates (``idStride`` set) offset each copy's nonzero
+        instance ids by the stride instead."""
+        stride = detectorIdStride if detectorIdStride is not None else (
+            self._id_stride
+        )
         out = []
         det = 0
-        for trafo in transforms:
+        for i, trafo in enumerate(transforms):
             for proto in self._instances:
+                if not assignDetectorIds:
+                    det_id = proto.detectorId
+                elif stride is not None:
+                    det_id = (
+                        proto.detectorId + i * stride
+                        if proto.detectorId != 0
+                        else 0
+                    )
+                else:
+                    det_id = det
+                t = trafo @ proto.transform
+                if sceneTransform is not None:
+                    t = sceneTransform @ t
                 inst = MeshInstance(
                     proto.key,
                     proto.mesh,
                     proto.material,
-                    trafo @ proto.transform,
-                    det if assignDetectorIds else proto.detectorId,
+                    t,
+                    det_id,
                 )
                 out.append(inst)
             det += 1
