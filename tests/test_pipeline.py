@@ -1,6 +1,7 @@
 """Pipeline/scheduler/task tests (model: reference tests/test_task.py)."""
 
 import numpy as np
+import pytest
 
 import theia_tpu.units as u
 from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
@@ -53,19 +54,51 @@ def test_pipeline_param_addressing():
     assert 1.5 < np.asarray(h2).sum() / np.asarray(h1).sum() < 2.5
 
 
-def test_scheduler_processes_all_batches():
+@pytest.mark.parametrize("threaded", [True, False])
+def test_scheduler_processes_all_batches(threaded):
     tracer = build()
     results = []
 
     def process(config, batch, result):
         results.append(np.asarray(result[0]))
 
-    sched = PipelineScheduler(Pipeline(tracer), processFn=process)
+    sched = PipelineScheduler(
+        Pipeline(tracer), processFn=process, dispatchThread=threaded
+    )
     sched.schedule([{}, {"lightSource__budget": 2e6}, {}])
     sched.wait()
     assert len(results) == 3
     # the middle batch used twice the budget
     assert results[1].sum() > 1.5 * results[0].sum()
+
+
+def test_scheduler_threaded_matches_sync():
+    """The dispatch-thread scheduler routes params and advances RNG in
+    the same FIFO order as the synchronous path -> identical results."""
+
+    def collect(threaded):
+        tracer = build()
+        results = []
+        sched = PipelineScheduler(
+            Pipeline(tracer),
+            processFn=lambda c, b, r: results.append(np.asarray(r[0])),
+            dispatchThread=threaded,
+        )
+        sched.schedule([{}, {"lightSource__budget": 3e6}, {}, {}])
+        return results
+
+    a = collect(True)
+    b = collect(False)
+    assert len(a) == len(b) == 4
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_scheduler_threaded_propagates_errors():
+    tracer = build()
+    sched = PipelineScheduler(Pipeline(tracer), dispatchThread=True)
+    with pytest.raises(ValueError, match="unknown stage"):
+        sched.schedule([{"noSuchStage__param": 1.0}])
 
 
 def test_runtime_batch_size_no_retrace():

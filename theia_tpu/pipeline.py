@@ -137,6 +137,7 @@ class PipelineScheduler:
         *,
         processFn: Callable | None = None,
         lookahead: int = 2,
+        dispatchThread: bool = True,
     ) -> None:
         if isinstance(pipeline, list):
             self.pipelines = {
@@ -151,6 +152,7 @@ class PipelineScheduler:
             self.pipelines = {None: pipeline}
         self.processFn = processFn
         self.lookahead = max(1, lookahead)
+        self.dispatchThread = dispatchThread
         self._batch = 0
 
     def _resolve(self, name):
@@ -162,8 +164,22 @@ class PipelineScheduler:
 
     def schedule(self, tasks: list) -> None:
         """Run a list of tasks; each is a params dict, a DynamicTask, or a
-        ``(pipeline_name, params_or_task)`` tuple."""
+        ``(pipeline_name, params_or_task)`` tuple.
+
+        With ``dispatchThread=True`` (default) device batches are issued
+        and awaited on a dedicated worker thread — the analogue of the
+        reference scheduler's worker threads (hephaistos
+        PipelineScheduler) — so host-side processing overlaps device
+        execution even when the device RPC layer executes dispatches
+        synchronously (measured on the bench chip: JAX's async dispatch
+        alone hides almost nothing there, see
+        tools/bench_pipeline_overlap.py). Parameter routing and RNG
+        advancement happen on the worker in FIFO task order, exactly as
+        in the synchronous path."""
         queue = deque(tasks)
+        if self.dispatchThread:
+            self._schedule_threaded(queue)
+            return
         in_flight: deque = deque()
 
         def drain_one():
@@ -209,6 +225,85 @@ class PipelineScheduler:
                     launch(task, pl)
             if in_flight:
                 drain_one()
+
+    def _schedule_threaded(self, queue: deque) -> None:
+        """schedule() with a dispatch worker thread (see schedule docs)."""
+        import queue as q
+        import threading
+
+        import jax
+
+        launch_q: q.SimpleQueue = q.SimpleQueue()
+        done_q: q.SimpleQueue = q.SimpleQueue()
+
+        def worker() -> None:
+            while True:
+                item = launch_q.get()
+                if item is None:
+                    return
+                task, pl, params = item
+                try:
+                    out, p = pl.run_async(params)
+                    jax.block_until_ready(out)
+                except BaseException as exc:  # re-raised on the main thread
+                    done_q.put((task, pl, None, None, exc))
+                    return
+                done_q.put((task, pl, out, p, None))
+
+        th = threading.Thread(target=worker, name="theia-dispatch", daemon=True)
+        th.start()
+        in_flight = 0
+
+        def launch(task, pl) -> None:
+            nonlocal in_flight
+            params = task.parameters if isinstance(task, DynamicTask) else task
+            launch_q.put((task, pl, params))
+            in_flight += 1
+
+        def drain_one() -> None:
+            nonlocal in_flight
+            task, pl, out, p, err = done_q.get()
+            in_flight -= 1
+            if err is not None:
+                raise err
+            tracer = pl.tracer
+            result = (
+                tracer.response.result(p["response"], out[0]),
+                tracer.callback.result(p["callback"], out[1]),
+            )
+            if isinstance(task, DynamicTask):
+                task.batchesRemaining -= 1
+                extra = task.processBatch(result)
+                task.batchesRemaining += extra
+                for _ in range(extra):
+                    launch(task, pl)
+                if task.batchesRemaining == 0:
+                    task.onTaskFinished()
+            if self.processFn is not None:
+                self.processFn(0, self._batch, result)
+            self._batch += 1
+
+        try:
+            while queue or in_flight:
+                while queue and in_flight < self.lookahead:
+                    task = queue.popleft()
+                    name = None
+                    if isinstance(task, tuple) and len(task) == 2 and (
+                        task[0] is None or isinstance(task[0], str)
+                    ):
+                        name, task = task
+                    pl = self._resolve(name)
+                    if isinstance(task, DynamicTask):
+                        task.batchesRemaining = task.initialBatchCount
+                        for _ in range(task.initialBatchCount):
+                            launch(task, pl)
+                    else:
+                        launch(task, pl)
+                if in_flight:
+                    drain_one()
+        finally:
+            launch_q.put(None)
+            th.join()
 
     def wait(self) -> None:
         """Kept for API parity; schedule() is synchronous at exit."""
