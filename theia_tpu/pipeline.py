@@ -245,10 +245,19 @@ class PipelineScheduler:
                 try:
                     out, p = pl.run_async(params)
                     jax.block_until_ready(out)
+                    # materialize results here too: on relay-style
+                    # backends D2H transfers queue behind executions, so
+                    # doing this on the main thread would stall host
+                    # processing behind the *next* batch
+                    tracer = pl.tracer
+                    result = (
+                        tracer.response.result(p["response"], out[0]),
+                        tracer.callback.result(p["callback"], out[1]),
+                    )
                 except BaseException as exc:  # re-raised on the main thread
-                    done_q.put((task, pl, None, None, exc))
+                    done_q.put((task, pl, None, exc))
                     return
-                done_q.put((task, pl, out, p, None))
+                done_q.put((task, pl, result, None))
 
         th = threading.Thread(target=worker, name="theia-dispatch", daemon=True)
         th.start()
@@ -262,15 +271,10 @@ class PipelineScheduler:
 
         def drain_one() -> None:
             nonlocal in_flight
-            task, pl, out, p, err = done_q.get()
+            task, pl, result, err = done_q.get()
             in_flight -= 1
             if err is not None:
                 raise err
-            tracer = pl.tracer
-            result = (
-                tracer.response.result(p["response"], out[0]),
-                tracer.callback.result(p["callback"], out[1]),
-            )
             if isinstance(task, DynamicTask):
                 task.batchesRemaining -= 1
                 extra = task.processBatch(result)
