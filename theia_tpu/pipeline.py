@@ -96,6 +96,15 @@ def runPipeline(stages_or_tracer, params: dict | None = None):
     return Pipeline(stages_or_tracer).run(params)
 
 
+def _materialize(pl, out, p):
+    """Convert a batch's raw device states to (response, callback) results."""
+    tracer = pl.tracer
+    return (
+        tracer.response.result(p["response"], out[0]),
+        tracer.callback.result(p["callback"], out[1]),
+    )
+
+
 class DynamicTask:
     """A task whose batch count is decided while running
     (reference: hephaistos.pipeline.DynamicTask).
@@ -182,25 +191,6 @@ class PipelineScheduler:
             return
         in_flight: deque = deque()
 
-        def drain_one():
-            task, pl, out, p = in_flight.popleft()
-            tracer = pl.tracer
-            result = (
-                tracer.response.result(p["response"], out[0]),
-                tracer.callback.result(p["callback"], out[1]),
-            )
-            if isinstance(task, DynamicTask):
-                task.batchesRemaining -= 1
-                extra = task.processBatch(result)
-                task.batchesRemaining += extra
-                for _ in range(extra):
-                    launch(task, pl)
-                if task.batchesRemaining == 0:
-                    task.onTaskFinished()
-            if self.processFn is not None:
-                self.processFn(0, self._batch, result)
-            self._batch += 1
-
         def launch(task, pl):
             params = (
                 task.parameters if isinstance(task, DynamicTask) else task
@@ -208,23 +198,11 @@ class PipelineScheduler:
             out, p = pl.run_async(params)
             in_flight.append((task, pl, out, p))
 
-        while queue or in_flight:
-            while queue and len(in_flight) < self.lookahead:
-                task = queue.popleft()
-                name = None
-                if isinstance(task, tuple) and len(task) == 2 and (
-                    task[0] is None or isinstance(task[0], str)
-                ):
-                    name, task = task
-                pl = self._resolve(name)
-                if isinstance(task, DynamicTask):
-                    task.batchesRemaining = task.initialBatchCount
-                    for _ in range(task.initialBatchCount):
-                        launch(task, pl)
-                else:
-                    launch(task, pl)
-            if in_flight:
-                drain_one()
+        def drain_one():
+            task, pl, out, p = in_flight.popleft()
+            self._finish_batch(task, pl, _materialize(pl, out, p), launch)
+
+        self._drive(queue, launch, drain_one, lambda: len(in_flight))
 
     def _schedule_threaded(self, queue: deque) -> None:
         """schedule() with a dispatch worker thread (see schedule docs)."""
@@ -249,11 +227,7 @@ class PipelineScheduler:
                     # backends D2H transfers queue behind executions, so
                     # doing this on the main thread would stall host
                     # processing behind the *next* batch
-                    tracer = pl.tracer
-                    result = (
-                        tracer.response.result(p["response"], out[0]),
-                        tracer.callback.result(p["callback"], out[1]),
-                    )
+                    result = _materialize(pl, out, p)
                 except BaseException as exc:  # re-raised on the main thread
                     done_q.put((task, pl, None, exc))
                     return
@@ -275,39 +249,47 @@ class PipelineScheduler:
             in_flight -= 1
             if err is not None:
                 raise err
-            if isinstance(task, DynamicTask):
-                task.batchesRemaining -= 1
-                extra = task.processBatch(result)
-                task.batchesRemaining += extra
-                for _ in range(extra):
-                    launch(task, pl)
-                if task.batchesRemaining == 0:
-                    task.onTaskFinished()
-            if self.processFn is not None:
-                self.processFn(0, self._batch, result)
-            self._batch += 1
+            self._finish_batch(task, pl, result, launch)
 
         try:
-            while queue or in_flight:
-                while queue and in_flight < self.lookahead:
-                    task = queue.popleft()
-                    name = None
-                    if isinstance(task, tuple) and len(task) == 2 and (
-                        task[0] is None or isinstance(task[0], str)
-                    ):
-                        name, task = task
-                    pl = self._resolve(name)
-                    if isinstance(task, DynamicTask):
-                        task.batchesRemaining = task.initialBatchCount
-                        for _ in range(task.initialBatchCount):
-                            launch(task, pl)
-                    else:
-                        launch(task, pl)
-                if in_flight:
-                    drain_one()
+            self._drive(queue, launch, drain_one, lambda: in_flight)
         finally:
             launch_q.put(None)
             th.join()
+
+    def _drive(self, queue, launch, drain_one, in_flight_count) -> None:
+        """Shared fill-to-lookahead / drain loop of both schedule modes."""
+        while queue or in_flight_count():
+            while queue and in_flight_count() < self.lookahead:
+                task = queue.popleft()
+                name = None
+                if isinstance(task, tuple) and len(task) == 2 and (
+                    task[0] is None or isinstance(task[0], str)
+                ):
+                    name, task = task
+                pl = self._resolve(name)
+                if isinstance(task, DynamicTask):
+                    task.batchesRemaining = task.initialBatchCount
+                    for _ in range(task.initialBatchCount):
+                        launch(task, pl)
+                else:
+                    launch(task, pl)
+            if in_flight_count():
+                drain_one()
+
+    def _finish_batch(self, task, pl, result, launch) -> None:
+        """Dynamic-task bookkeeping + process callback for one batch."""
+        if isinstance(task, DynamicTask):
+            task.batchesRemaining -= 1
+            extra = task.processBatch(result)
+            task.batchesRemaining += extra
+            for _ in range(extra):
+                launch(task, pl)
+            if task.batchesRemaining == 0:
+                task.onTaskFinished()
+        if self.processFn is not None:
+            self.processFn(0, self._batch, result)
+        self._batch += 1
 
     def wait(self) -> None:
         """Kept for API parity; schedule() is synchronous at exit."""
