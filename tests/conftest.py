@@ -22,6 +22,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite is compile-dominated (dozens of
+# distinct tracer configurations), so re-runs skip straight to execution
+_cache_dir = os.environ.get(
+    "THEIA_TEST_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

@@ -244,6 +244,13 @@ def _parse_obj(path: Path):
             idx = []
             for tok in parts[1:]:
                 i = int(tok.split("/")[0])
+                # OBJ indices are 1-based and refer to vertices defined so
+                # far; 0 and out-of-range references are malformed input
+                if i == 0 or abs(i) > len(verts):
+                    raise ValueError(
+                        f"{path.name}: face index {tok!r} out of range "
+                        f"({len(verts)} vertices defined at this point)"
+                    )
                 idx.append(i - 1 if i > 0 else len(verts) + i)
             for k in range(1, len(idx) - 1):
                 cur_faces.append([idx[0], idx[k], idx[k + 1]])

@@ -38,9 +38,16 @@ class Pipeline:
 
     ``setParams({"lightSource__budget": 1e5})`` routes values to the named
     component; ``run()`` traces one batch and returns
-    (response result, callback result)."""
+    (response result, callback result).
 
-    def __init__(self, stages_or_tracer) -> None:
+    ``runner`` plugs in an alternative batch executor — e.g.
+    :class:`theia_tpu.parallel.ShardedRunner` to spread every batch over a
+    device mesh — while the scheduler/task/checkpoint layers on top stay
+    unchanged. A runner provides ``launch(params) -> device_states`` and
+    ``materialize(device_states, params) -> (response, callback) results``.
+    """
+
+    def __init__(self, stages_or_tracer, *, runner=None) -> None:
         if hasattr(stages_or_tracer, "collectStages"):
             stages = stages_or_tracer.collectStages()
         else:
@@ -50,10 +57,17 @@ class Pipeline:
         if len(tracers) != 1:
             raise ValueError("pipeline needs exactly one tracer stage")
         self._tracer = tracers[0]
+        if runner is not None and runner.tracer is not self._tracer:
+            raise ValueError("runner was built for a different tracer")
+        self._runner = runner
 
     @property
     def tracer(self):
         return self._tracer
+
+    @property
+    def runner(self):
+        return self._runner
 
     @property
     def stages(self) -> dict:
@@ -77,7 +91,10 @@ class Pipeline:
     def run(self, params: dict | None = None):
         if params:
             self.setParams(params)
-        return self._tracer.run()
+        if self._runner is None:
+            return self._tracer.run()
+        out, p = self.run_async()
+        return _materialize(self, out, p)
 
     def run_async(self, params: dict | None = None):
         """Launch one batch without synchronizing; returns the raw device
@@ -86,7 +103,12 @@ class Pipeline:
             self.setParams(params)
         tracer = self._tracer
         p = tracer.params()
-        out = tracer._jit_trace(p, tracer.rng.counter_words, tracer.streams())
+        if self._runner is not None:
+            out = self._runner.launch(p)
+        else:
+            out = tracer._jit_trace(
+                p, tracer.rng.counter_words, tracer.streams()
+            )
         tracer.rng.advance()
         return out, p
 
@@ -98,6 +120,8 @@ def runPipeline(stages_or_tracer, params: dict | None = None):
 
 def _materialize(pl, out, p):
     """Convert a batch's raw device states to (response, callback) results."""
+    if pl.runner is not None:
+        return pl.runner.materialize(out, p)
     tracer = pl.tracer
     return (
         tracer.response.result(p["response"], out[0]),
@@ -205,7 +229,15 @@ class PipelineScheduler:
         self._drive(queue, launch, drain_one, lambda: len(in_flight))
 
     def _schedule_threaded(self, queue: deque) -> None:
-        """schedule() with a dispatch worker thread (see schedule docs)."""
+        """schedule() with a dispatch worker thread (see schedule docs).
+
+        Params are snapshotted (shallow-copied) at enqueue time, so a
+        processFn/processBatch that mutates ``task.parameters`` on the main
+        thread cannot race the worker's deferred routing; note that mutating
+        shared *stage* state from those callbacks is still unsynchronized in
+        threaded mode. The worker keeps up to ``lookahead`` batches
+        dispatched before blocking on the oldest, preserving device-side
+        pipelining on backends with true async dispatch."""
         import queue as q
         import threading
 
@@ -213,15 +245,47 @@ class PipelineScheduler:
 
         launch_q: q.SimpleQueue = q.SimpleQueue()
         done_q: q.SimpleQueue = q.SimpleQueue()
+        cancel = threading.Event()
 
         def worker() -> None:
+            # dispatched-but-not-awaited batches, FIFO:
+            # ("ok", task, pl, out, p) or ("err", task, pl, exc)
+            pending: deque = deque()
+            stop = False
             while True:
-                item = launch_q.get()
-                if item is None:
+                # fill: dispatch queued launches up to the lookahead window;
+                # block for input only when nothing is pending
+                while not stop and len(pending) < self.lookahead:
+                    try:
+                        item = (
+                            launch_q.get_nowait() if pending else launch_q.get()
+                        )
+                    except q.Empty:
+                        break
+                    if item is None:
+                        stop = True
+                        break
+                    task, pl, params = item
+                    if cancel.is_set():
+                        # main thread aborted: skip unstarted work so the
+                        # exception propagates without waiting on it
+                        continue
+                    try:
+                        pending.append((task, pl, *pl.run_async(params)))
+                    except BaseException as exc:
+                        pending.append((task, pl, exc))
+                        stop = True
+                if not pending:
+                    if stop:
+                        return
+                    continue
+                entry = pending.popleft()
+                if len(entry) == 3:  # dispatch error, in FIFO position
+                    task, pl, exc = entry
+                    done_q.put((task, pl, None, exc))
                     return
-                task, pl, params = item
+                task, pl, out, p = entry
                 try:
-                    out, p = pl.run_async(params)
                     jax.block_until_ready(out)
                     # materialize results here too: on relay-style
                     # backends D2H transfers queue behind executions, so
@@ -240,7 +304,8 @@ class PipelineScheduler:
         def launch(task, pl) -> None:
             nonlocal in_flight
             params = task.parameters if isinstance(task, DynamicTask) else task
-            launch_q.put((task, pl, params))
+            # snapshot: the live dict may be mutated by later callbacks
+            launch_q.put((task, pl, dict(params) if params else params))
             in_flight += 1
 
         def drain_one() -> None:
@@ -253,6 +318,9 @@ class PipelineScheduler:
 
         try:
             self._drive(queue, launch, drain_one, lambda: in_flight)
+        except BaseException:
+            cancel.set()
+            raise
         finally:
             launch_q.put(None)
             th.join()

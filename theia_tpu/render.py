@@ -163,15 +163,22 @@ class SceneTemplate:
     ) -> dict[tuple[str, int], int]:
         """Map (instance name, copy index) -> detectorId for a stamped
         scene (the reference returns this map from createScene,
-        src/theia/scene.py:911-921)."""
+        src/theia/scene.py:911-921).
+
+        Mirrors ``createScene``'s assignment exactly: stride-based offsets
+        for file templates (nonzero proto ids only); for programmatic
+        templates (no stride) every instance of copy ``i`` gets id ``i``."""
         stride = detectorIdStride if detectorIdStride is not None else (
-            self._id_stride or 0
+            self._id_stride
         )
         out = {}
         for i in range(nCopies):
             for proto in self._instances:
-                if proto.detectorId != 0:
-                    out[(proto.key, i)] = proto.detectorId + i * stride
+                if stride is not None:
+                    if proto.detectorId != 0:
+                        out[(proto.key, i)] = proto.detectorId + i * stride
+                else:
+                    out[(proto.key, i)] = i
         return out
 
     def createScene(
