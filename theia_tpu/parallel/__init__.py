@@ -23,6 +23,7 @@ from .multihost import (
     replicate_tree,
     shard_trace_multihost,
 )
+from .runner import ShardedRunner
 
 __all__ = [
     "make_photon_mesh",
@@ -33,4 +34,5 @@ __all__ = [
     "global_streams",
     "replicate_tree",
     "shard_trace_multihost",
+    "ShardedRunner",
 ]

@@ -29,11 +29,10 @@ histograms.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .dataparallel import BATCH_AXIS, make_photon_mesh, shard_trace
+from .dataparallel import BATCH_AXIS, make_photon_mesh
 
 __all__ = [
     "initialize",
@@ -113,23 +112,20 @@ def shard_trace_multihost(tracer, mesh: Mesh | None = None):
     stateful stages (streaming host sources) may change it between
     batches. For static params that costs one host->device table upload
     per batch, dominated by batch compute at production sizes."""
-    mesh = global_photon_mesh() if mesh is None else mesh
-    fn = shard_trace(tracer, mesh)
-    streams = global_streams(tracer.capacity, mesh)
+    from .runner import ShardedRunner
+
+    runner = ShardedRunner(
+        tracer, global_photon_mesh() if mesh is None else mesh, multihost=True
+    )
 
     def run(params=None, *, advance: bool = True):
         # ONE params() snapshot per batch (stateful stages advance inside
         # params(), e.g. streaming host sources) — trace and finalize
         # against the same snapshot, like the single-host tracer.run()
         p_local = tracer.params() if params is None else params
-        p = replicate_tree(p_local, mesh)
-        counter = replicate_tree(tracer.rng.counter_words, mesh)
-        resp_state, cb_state = fn(p, counter, streams)
+        out = runner.launch(p_local)
         if advance:
             tracer.rng.advance()
-        return (
-            tracer.response.result(p_local["response"], fetch(resp_state)),
-            tracer.callback.result(p_local["callback"], fetch(cb_state)),
-        )
+        return runner.materialize(out, p_local)
 
     return run
