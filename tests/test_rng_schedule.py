@@ -259,3 +259,69 @@ def test_volume_photon_schedule():
     )
     assert dims.max() <= tracer.nRNGSamples
     assert (codes[1:-1] == SCATTERED).any()
+
+
+def test_ref_compat_rng_stride():
+    """refCompatRNG=True reproduces the reference's host-side offset
+    advance verbatim (ref src/theia/trace.py:631-634 and :1178-1187) so
+    multi-batch conformance runs land on bit-identical Philox streams."""
+    # --- scene tracer with a guide: ref stride is 4 + G (not 5 + G) ---
+    water = Model().createMedium(num_lambda=8, num_theta=64)
+    mats = MaterialStore.pack([Material("det_water", None, water, flags="DB")])
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+    det_pos = (0.0, 3.0, 0.0)
+    scene = Scene(
+        [
+            meshes.createInstance(
+                "sphere", "det_water",
+                Transform.TRS(scale=0.6, translate=det_pos), detectorId=1,
+            )
+        ],
+        mats,
+        medium="water",
+    )
+    guide = SphereTargetGuide(position=det_pos, radius=0.6)
+
+    def scene_tracer(compat, L=5):
+        return SceneForwardTracer(
+            BATCH,
+            SphericalLightSource(
+                position=(2.0, 0.0, 0.0), timeRange=(0.0, 5.0), budget=1e5
+            ),
+            UniformWavelengthSource(lambdaRange=(400.0, 500.0)),
+            HistogramHitResponse(nBins=20, t0=0.0, binSize=5.0 * u.ns),
+            PhiloxRNG(key=11),
+            scene,
+            maxPathLength=L,
+            targetId=1,
+            targetGuide=guide,
+            refCompatRNG=compat,
+        )
+
+    t, tc = scene_tracer(False), scene_tracer(True)
+    L, G = 5, guide.nRNGSamples
+    src, wl = t.source.nRNGForward, t.wavelengthSource.nRNGSamples
+    ref_n = src + wl + (4 + G) * L + tc.maxHitsPerThread * 0
+    assert tc.nRNGSamples == ref_n
+    assert t.nRNGSamples == ref_n + L  # ours adds the missing +1/segment
+
+    # --- volume tracer with MIS: ref stride is 7, no first-step term ---
+    def volume_tracer(compat):
+        return VolumeForwardTracer(
+            BATCH,
+            SphericalLightSource(
+                position=(0.0, 0.0, 0.0), timeRange=(0.0, 5.0), budget=1e5
+            ),
+            SphereTarget(position=(0.0, 0.0, 2.0), radius=0.5),
+            UniformWavelengthSource(lambdaRange=(400.0, 500.0)),
+            HistogramHitResponse(nBins=20, t0=0.0, binSize=5.0 * u.ns),
+            PhiloxRNG(key=12),
+            medium=Model().createMedium(num_lambda=8, num_theta=64),
+            nScattering=5,
+            refCompatRNG=compat,
+        )
+
+    v, vc = volume_tracer(False), volume_tracer(True)
+    src, wl = v.source.nRNGForward, v.wavelengthSource.nRNGSamples
+    assert vc.nRNGSamples == src + wl + 7 * vc.pathLength
+    assert v.nRNGSamples > vc.nRNGSamples  # worst-case covers the ref's gap

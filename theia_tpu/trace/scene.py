@@ -157,6 +157,7 @@ class SceneForwardTracer(TracerBase):
         disableTransmission: bool = False,
         disableVolumeBorder: bool = False,
         useRefractedHitDir: bool = False,
+        refCompatRNG: bool = False,
     ) -> None:
         if not source.supportForward:
             raise ValueError("light source does not support forward mode")
@@ -188,11 +189,19 @@ class SceneForwardTracer(TracerBase):
         # (scene.traverse.glsl:294, 253-255, 391) — which silently overlaps
         # Philox streams between batches. We advance by the true worst case;
         # tests/test_rng_schedule.py pins the schedule.
+        #
+        # ``refCompatRNG=True`` reproduces the reference's own offset
+        # stride verbatim instead, so multi-batch runs land on bit-identical
+        # Philox streams for conformance comparisons on guided configs —
+        # inheriting the reference's stream-overlap bug between batches
+        # (harmless for single-batch goldens; see PARITY.md "RNG-stream
+        # identity").
+        self.refCompatRNG = refCompatRNG
         maxHits = maxPathLength - 1
         rngStride = 4
         if targetGuide is not None:
             maxHits *= 2
-            rngStride = 5 + targetGuide.nRNGSamples
+            rngStride = (4 if refCompatRNG else 5) + targetGuide.nRNGSamples
         if not disableDirectLighting:
             maxHits += 1
         self.maxHitsPerThread = maxHits

@@ -147,6 +147,7 @@ class VolumeForwardTracer(TracerBase):
         polarized: bool = False,
         disableDirectLighting: bool = False,
         disableTargetSampling: bool = False,
+        refCompatRNG: bool = False,
     ) -> None:
         if not source.supportForward:
             raise ValueError("light source does not support forward mode")
@@ -173,13 +174,24 @@ class VolumeForwardTracer(TracerBase):
         # nRNGSamples undercounts the true per-path consumption and can
         # overlap Philox streams between batches. We advance by the worst
         # case; the schedule is pinned by tests/test_rng_schedule.py.
+        #
+        # ``refCompatRNG=True`` instead advances the offset exactly as the
+        # reference does (rngStride = 3 or 7, no first-step term,
+        # src/theia/trace.py:631-634) so multi-batch conformance runs see
+        # bit-identical Philox streams — including the reference's own
+        # between-batch stream overlap (see PARITY.md "RNG-stream
+        # identity").
+        self.refCompatRNG = refCompatRNG
         self.maxHitsPerThread = nScattering
         if not disableTargetSampling:
             self.maxHitsPerThread *= 2
         if not disableDirectLighting:
             self.maxHitsPerThread += 1
         self.pathLength = nScattering if disableTargetSampling else nScattering - 1
-        if disableTargetSampling:
+        if refCompatRNG:
+            firstStep = 0
+            rngStride = 3 if disableTargetSampling else 7
+        elif disableTargetSampling:
             firstStep = 1
             rngStride = 3
         else:
