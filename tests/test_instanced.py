@@ -239,20 +239,26 @@ def test_matches_bruteforce_extreme_scales(scale):
 
 
 def test_any_hit_occlusion_matches_nearest():
-    """is_visible's any-hit fast path must agree with the brute
-    nearest-hit visibility on the same scene."""
-    from theia_tpu.accel import is_visible
-    from theia_tpu.ops.instanced import occluded_instanced
+    """is_visible's any-hit fast paths (instanced, brute scan, BVH) must
+    agree with ground-truth visibility from the brute nearest-hit query."""
+    from theia_tpu.accel import _nearest_triangle, is_visible
+    from theia_tpu.ops.math3d import dot
 
-    scene_i = array_scene(3, "instanced")
     scene_b = array_scene(3, "brute")
     ks = jax.random.split(jax.random.PRNGKey(21), 2)
     n = 4096
     obs = jax.random.uniform(ks[0], (n, 3), jnp.float32, -1.0, 5.0)
     tgt = jax.random.uniform(ks[1], (n, 3), jnp.float32, -1.0, 5.0)
 
-    vis_i = np.asarray(is_visible(scene_i.pack, obs, tgt))
-    vis_b = np.asarray(is_visible(scene_b.pack, obs, tgt))
-    assert vis_i.any() and (~vis_i).any()
-    # identical up to rays exactly grazing shared edges
-    assert (vis_i == vis_b).mean() > 0.999
+    # ground truth: nearest hit strictly before the connection distance
+    d = tgt - obs
+    dist = jnp.sqrt(jnp.maximum(dot(d, d), 1e-30))
+    _, tri = _nearest_triangle(scene_b.pack, obs, d / dist[:, None], dist, 256)
+    vis_ref = np.asarray(tri < 0)
+    assert vis_ref.any() and (~vis_ref).any()
+
+    for accel in ("brute", "instanced", "bvh"):
+        scene = array_scene(3, accel)
+        vis = np.asarray(is_visible(scene.pack, obs, tgt))
+        # identical up to rays exactly grazing shared edges
+        assert (vis == vis_ref).mean() > 0.999, accel

@@ -214,3 +214,66 @@ def test_material_store_and_zip_roundtrip(tmp_path):
         np.asarray(media["water"].absorption_coef),
         np.asarray(water.absorption_coef),
     )
+
+
+def test_load_materials_validates_schema(tmp_path):
+    """loadMaterials jsonschema-validates material.json and rejects
+    dangling medium references (reference material.py:697-712, 855-869)."""
+    import json
+    from zipfile import ZipFile
+
+    import jsonschema
+    import pytest
+
+    water = WaterPhaseModel().createMedium(num_lambda=8, num_theta=8)
+    good = tmp_path / "good.zip"
+    saveMaterials(good, [Material("det", water, None, flags="DB")])
+
+    def rewrite(src, dst, entries):
+        with ZipFile(src) as zin, ZipFile(dst, "w") as zout:
+            for info in zin.infolist():
+                if info.filename == "material.json":
+                    zout.writestr(info.filename, json.dumps(entries))
+                else:
+                    zout.writestr(info.filename, zin.read(info))
+
+    # malformed entry: missing required key
+    bad = tmp_path / "bad_schema.zip"
+    rewrite(good, bad, [{"name": "det", "inside": "water"}])
+    with pytest.raises(jsonschema.ValidationError):
+        loadMaterials(bad)
+    # skipValidation bypasses the schema check (reference parity) but the
+    # missing keys then surface as a KeyError downstream
+    with pytest.raises(KeyError):
+        loadMaterials(bad, skipValidation=True)
+
+    # unknown medium reference must be a clear error, not silently vacuum
+    dangling = tmp_path / "dangling.zip"
+    rewrite(
+        good,
+        dangling,
+        [
+            {
+                "name": "det",
+                "inside": "missing_medium",
+                "outside": None,
+                "flagsInward": 0,
+                "flagsOutward": 0,
+            }
+        ],
+    )
+    with pytest.raises(ValueError, match="unknown medium"):
+        loadMaterials(dangling)
+
+    # duplicate names rejected
+    dup = tmp_path / "dup.zip"
+    entry = {
+        "name": "det",
+        "inside": "water",
+        "outside": None,
+        "flagsInward": 0,
+        "flagsOutward": 0,
+    }
+    rewrite(good, dup, [entry, entry])
+    with pytest.raises(ValueError, match="duplicate"):
+        loadMaterials(dup)

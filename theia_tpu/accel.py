@@ -29,7 +29,13 @@ from .ops.math3d import dot, moeller_trumbore_rowwise, normalize, sign_bit
 from .scene import ScenePack
 from .trace.core import EventResultCode
 
-__all__ = ["SurfaceHit", "intersect_scene", "is_visible", "offset_ray"]
+__all__ = [
+    "SurfaceHit",
+    "anyhit_in_soup",
+    "intersect_scene",
+    "is_visible",
+    "offset_ray",
+]
 
 import os
 
@@ -154,6 +160,74 @@ def _nearest_triangle(pack: ScenePack, origin, direction, t_max, chunk: int):
     return nearest_in_soup(
         pack.w_v0, pack.w_e1, pack.w_e2, origin, direction, t_max, chunk
     )
+
+
+def anyhit_in_soup(v0, e1, e2, origin, direction, t_max, chunk: int):
+    """Any-hit occlusion over a (T, 3) triangle soup: True where some
+    triangle blocks the ray strictly before ``t_max``.
+
+    Visibility queries never need the winner: dropping the nearest-hit
+    bookkeeping (min-t + masked index reduce per chunk) leaves only the
+    Moeller-Trumbore test and a single OR-reduce, and a ``while_loop``
+    over chunks stops as soon as every lane is occluded (the reference's
+    hardware any-hit early-out, scene.intersect.glsl:104-124 — here at
+    chunk granularity, the finest a lock-step wavefront supports)."""
+    n_tri = v0.shape[0]
+    n_chunks = -(-n_tri // chunk)
+    pad = n_chunks * chunk - n_tri
+
+    def comp(a, fill):
+        a = jnp.pad(a, ((0, pad), (0, 0)), constant_values=fill)
+        return tuple(a[:, i].reshape(n_chunks, chunk) for i in range(3))
+
+    v0x, v0y, v0z = comp(v0, 3.0e38)
+    e1x, e1y, e1z = comp(e1, 0.0)
+    e2x, e2y, e2z = comp(e2, 0.0)
+
+    N = origin.shape[0]
+    ox, oy, oz = (origin[:, i : i + 1] for i in range(3))
+    dx, dy, dz = (direction[:, i : i + 1] for i in range(3))
+    bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))[:, None]
+
+    def chunk_occludes(k, occ):
+        cv = lambda a: lax.dynamic_index_in_dim(a, k, 0, keepdims=False)[None]
+        cv0x, cv0y, cv0z = cv(v0x), cv(v0y), cv(v0z)
+        ce1x, ce1y, ce1z = cv(e1x), cv(e1y), cv(e1z)
+        ce2x, ce2y, ce2z = cv(e2x), cv(e2y), cv(e2z)
+        px = dy * ce2z - dz * ce2y
+        py = dz * ce2x - dx * ce2z
+        pz = dx * ce2y - dy * ce2x
+        det = ce1x * px + ce1y * py + ce1z * pz
+        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tx = ox - cv0x
+        ty = oy - cv0y
+        tz = oz - cv0z
+        b1 = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * ce1z - tz * ce1y
+        qy = tz * ce1x - tx * ce1z
+        qz = tx * ce1y - ty * ce1x
+        b2 = (dx * qx + dy * qy + dz * qz) * inv
+        t = (ce2x * qx + ce2y * qy + ce2z * qz) * inv
+        hit = (
+            (inv != 0.0)
+            & (b1 >= -1e-6)
+            & (b2 >= -1e-6)
+            & (b1 + b2 <= 1.0 + 1e-6)
+            & (t > 0.0)
+            & (t < bound)
+        )
+        return occ | jnp.any(hit, axis=-1)
+
+    def cond(carry):
+        k, occ = carry
+        return (k < n_chunks) & ~jnp.all(occ)
+
+    def body(carry):
+        k, occ = carry
+        return k + 1, chunk_occludes(k, occ)
+
+    _, occ = lax.while_loop(cond, body, (jnp.int32(0), jnp.zeros((N,), bool)))
+    return occ
 
 
 def _nearest(pack: ScenePack, origin, direction, t_max, chunk: int):
@@ -326,6 +400,14 @@ def is_visible(
 
         return ~occluded_instanced(
             pack.instanced, observer, direction, dist, chunk
+        )
+    if pack.bvh is not None:
+        from .ops.bvh_traverse import occluded_bvh
+
+        return ~occluded_bvh(pack.bvh, observer, direction, dist)
+    if pack.mt is None and pack.woop is None:
+        return ~anyhit_in_soup(
+            pack.w_v0, pack.w_e1, pack.w_e2, observer, direction, dist, chunk
         )
     t, tri = _nearest(pack, observer, direction, dist, chunk)
     return tri < 0

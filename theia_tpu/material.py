@@ -492,7 +492,30 @@ def saveMaterials(path, materials: list[Material], *, media: list[Medium] = []):
                 medium.save(f)
 
 
-def loadMaterials(path) -> tuple[dict[str, Material], dict[str, Medium]]:
+# schema for material.json entries (validated on load like the reference,
+# src/theia/material.py:697-712, 855-857)
+_MATERIAL_JSON_SCHEMA = {
+    "type": "array",
+    "items": {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string"},
+            "inside": {"type": ["string", "null"]},
+            "outside": {"type": ["string", "null"]},
+            "flagsInward": {"type": "number", "minimum": 0},
+            "flagsOutward": {"type": "number", "minimum": 0},
+        },
+        "required": [
+            "name", "inside", "outside", "flagsInward", "flagsOutward",
+        ],
+        "additionalProperties": False,
+    },
+}
+
+
+def loadMaterials(
+    path, *, skipValidation: bool = False
+) -> tuple[dict[str, Material], dict[str, Medium]]:
     media: dict[str, Medium] = {}
     materials: dict[str, Material] = {}
     with ZipFile(path) as zf:
@@ -501,12 +524,33 @@ def loadMaterials(path) -> tuple[dict[str, Material], dict[str, Medium]]:
             if p.parts[0] == "media" and p.suffix == ".npz":
                 with zf.open(info) as f:
                     media[p.stem] = Medium.load(f, name=p.stem)
-        entries = json.loads(zf.read("material.json"))
+        try:
+            entries = json.loads(zf.read("material.json"))
+        except KeyError:
+            raise ValueError('missing "material.json" in material archive')
+        except json.JSONDecodeError as ex:
+            raise ValueError(f'invalid "material.json": {ex}') from ex
+    if not skipValidation:
+        import jsonschema
+
+        jsonschema.validate(entries, _MATERIAL_JSON_SCHEMA)
+
+    def resolve(mat: str, name: str | None) -> Medium | None:
+        if name is None:
+            return None
+        if name not in media:
+            raise ValueError(
+                f"material {mat!r} references unknown medium {name!r}"
+            )
+        return media[name]
+
     for e in entries:
+        if e["name"] in materials:
+            raise ValueError(f"duplicate material {e['name']!r}")
         materials[e["name"]] = Material(
             e["name"],
-            media.get(e["inside"]) if e["inside"] else None,
-            media.get(e["outside"]) if e["outside"] else None,
+            resolve(e["name"], e["inside"]),
+            resolve(e["name"], e["outside"]),
             flags=(
                 MaterialFlags(e["flagsInward"]),
                 MaterialFlags(e["flagsOutward"]),

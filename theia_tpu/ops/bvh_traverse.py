@@ -179,3 +179,73 @@ def nearest_triangle_bvh(packed, origin, direction, t_max):
     safe = jnp.maximum(idx_best, 0)
     orig = jnp.where(found, jnp.take(packed.order, safe), -1)
     return jnp.where(found, t_best, jnp.inf), orig
+
+
+def occluded_bvh(packed, origin, direction, t_max):
+    """Any-hit query: True where some triangle blocks the ray strictly
+    before ``t_max``. A lane TERMINATES at its first accepted hit (node
+    := -1) instead of tightening t and walking on — visibility queries
+    need no ordering, so the traversal visits only the prefix of the
+    threaded order up to the first blocker (the reference's
+    terminateOnFirstHit ray flag, scene.intersect.glsl:104-124)."""
+    n = origin.shape[0]
+    leaf_size = packed.leaf_size
+    inv_dir = 1.0 / jnp.where(
+        jnp.abs(direction) > 1e-12,
+        direction,
+        jnp.where(direction < 0.0, -1e-12, 1e-12),
+    )
+    bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    node = jnp.zeros((n,), jnp.int32)
+    occ = jnp.zeros((n,), bool)
+    tri_tab = packed.tri
+
+    def cond(carry):
+        node, _ = carry
+        return jnp.any(node >= 0)
+
+    def body(carry):
+        node, occ = carry
+        live = node >= 0
+        safe = jnp.maximum(node, 0)
+        row = jnp.take(packed.nodes, safe, axis=0)  # ONE gather per node
+        bmin, bmax = row[:, 0:3], row[:, 3:6]
+        miss = lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        sc = lax.bitcast_convert_type(row[:, 7], jnp.int32)
+        is_leaf = sc >= 0
+        start = sc >> _COUNT_BITS
+        count = sc & ((1 << _COUNT_BITS) - 1)
+
+        t0 = (bmin - origin) * inv_dir
+        t1 = (bmax - origin) * inv_dir
+        tn = jnp.minimum(t0, t1).max(axis=-1)
+        tf = jnp.maximum(t0, t1).min(axis=-1)
+        hit = live & (tf >= jnp.maximum(tn, 0.0)) & (tn <= bound)
+
+        leaf_active = hit & is_leaf
+        found = jnp.zeros((n,), bool)
+        for k in range(leaf_size):
+            tri = start + k
+            trow = jnp.take(tri_tab, tri, axis=0, mode="clip")
+            v0, e1, e2 = trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
+            b1, b2, t, inv = moeller_trumbore_rowwise(
+                origin, direction, v0, e1, e2
+            )
+            found |= (
+                leaf_active
+                & (k < count)
+                & (inv != 0.0)
+                & (b1 >= -1e-6)
+                & (b2 >= -1e-6)
+                & (b1 + b2 <= 1.0 + 1e-6)
+                & (t > 0.0)
+                & (t < bound)
+            )
+        occ = occ | found
+        next_node = jnp.where(hit & ~is_leaf, node + 1, miss)
+        next_node = jnp.where(found, -1, next_node)  # first hit terminates
+        next_node = jnp.where(live, next_node, node)
+        return next_node, occ
+
+    _, occ = lax.while_loop(cond, body, (node, occ))
+    return occ
