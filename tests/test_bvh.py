@@ -10,6 +10,8 @@ from theia_tpu.mesh import loadMesh
 from theia_tpu.native import BVH, build_bvh, native_available
 from theia_tpu.ops.bvh_traverse import nearest_triangle_bvh, pack_bvh
 
+pytestmark = pytest.mark.core  # fast smoke tier, see pyproject markers
+
 ASSETS = "/root/reference/assets"
 
 

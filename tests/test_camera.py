@@ -7,6 +7,8 @@ geometric invariants the reference asserts, plus polarization-frame
 properties (orthonormality, plane-of-scattering alignment).
 """
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -19,6 +21,8 @@ from theia_tpu.camera import (
 )
 from theia_tpu.random import PhiloxRNG
 from theia_tpu.testing import sampleCameraPoint, sampleCameraRay
+
+pytestmark = pytest.mark.core  # fast smoke tier, see pyproject markers
 
 N = 32 * 1024
 

@@ -15,6 +15,8 @@ from theia_tpu.response import HistogramHitResponse
 from theia_tpu.scene import MeshStore, Scene, Transform
 from theia_tpu.trace import SceneForwardTracer
 
+pytestmark = pytest.mark.core  # fast smoke tier, see pyproject markers
+
 N = 256
 
 

@@ -35,6 +35,8 @@ from theia_tpu.material import MediumConstants
 from theia_tpu.ops.gamma import sample_gamma
 from theia_tpu.random import PhiloxRNG
 
+pytestmark = pytest.mark.core  # fast smoke tier, see pyproject markers
+
 N = 4 * 1024
 
 

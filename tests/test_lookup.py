@@ -1,11 +1,15 @@
 """Lookup-table tests (model: reference tests/test_lookup.py semantics)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from theia_tpu.lookup import lookup, lookup2d, lookup_dx, sample_table1d
 
+
+pytestmark = pytest.mark.core  # fast smoke tier, see pyproject markers
 
 def test_lookup_linear(rng):
     table = jnp.asarray(rng.random(64, dtype=np.float32))

@@ -30,6 +30,8 @@ from theia_tpu.material import (
     saveMaterials,
 )
 
+pytestmark = pytest.mark.core  # fast smoke tier, see pyproject markers
+
 DATA = Path(__file__).parent / "data"
 
 

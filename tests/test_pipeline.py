@@ -21,6 +21,8 @@ from theia_tpu.target import InnerSphereTarget
 from theia_tpu.trace import VolumeForwardTracer
 
 
+pytestmark = pytest.mark.core  # fast smoke tier, see pyproject markers
+
 class Model(DispersionFreeMedium, HenyeyGreensteinPhaseFunction, MediumModel):
     def __init__(self):
         DispersionFreeMedium.__init__(self, n=1.33, ng=1.33, mu_a=0.005, mu_s=0.01)

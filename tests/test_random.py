@@ -14,6 +14,8 @@ from theia_tpu.random import PhiloxRNG, philox_uniform, philox4x32
 M32 = 0xFFFFFFFF
 
 
+pytestmark = pytest.mark.core  # fast smoke tier, see pyproject markers
+
 def philox_oracle(key64: int, counter128: int, rounds: int = 10) -> list[int]:
     """Slow integer-math philox4x32 for cross-checking."""
     M0, M1 = 0xD2511F53, 0xCD9E8D57

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 
 
+pytestmark = pytest.mark.core  # fast smoke tier, see pyproject markers
+
 REF_API = {
     "theia_tpu.camera": "Camera CameraRayItem CameraRaySampler ConeCamera "
     "FlatCamera HostCamera MeshCamera PencilCamera PointCamera "

@@ -62,6 +62,8 @@ from theia_tpu.trace.photon import VolumePhotonTracer
 from theia_tpu.trace.scene import SceneForwardTracer
 from theia_tpu.trace.volume import VolumeForwardTracer
 
+pytestmark = pytest.mark.core  # fast smoke tier, see pyproject markers
+
 ASSETS = "/root/reference/assets"
 SCATTERED = int(EventResultCode.RAY_SCATTERED)
 HIT = int(EventResultCode.RAY_HIT)

@@ -1,6 +1,8 @@
 """Target and target-guide geometry tests
 (model: reference tests/test_target.py / test_target_guide.py)."""
 
+import pytest
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -14,6 +16,8 @@ from theia_tpu.target import (
     InnerSphereTarget,
     SphereTarget,
 )
+
+pytestmark = pytest.mark.core  # fast smoke tier, see pyproject markers
 
 N = 4096
 

@@ -235,3 +235,63 @@ def test_multimedia_shell_energy_conservation():
     total /= runs
     # a small fraction is truncated at maxPathLength (TIR-trapped paths)
     assert 0.93 < total / BUDGET <= 1.005, total / BUDGET
+
+
+def test_shadow_split_matches_fused():
+    """The MIS shadow split (accel.intersect_target: detector-subsoup
+    nearest + any-hit occlusion) must reproduce the fused full-soup
+    nearest bit-for-bit on both brute and BVH scenes (ties between
+    detector and occluder triangles are measure-zero off shared edges)."""
+    import dataclasses
+
+    from theia_tpu.target import SphereTargetGuide
+
+    def run(accel, drop_split):
+        water = Model(0.01, 0.4, 0.3).createMedium(num_lambda=8, num_theta=64, name="water")
+        mats = MaterialStore.pack(
+            [
+                Material("det_water", None, water, flags="DB"),
+                Material("occluder", None, water, flags="T"),
+            ]
+        )
+        meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+        det_pos = (0.0, 3.0, 0.0)
+        scene = Scene(
+            [
+                meshes.createInstance(
+                    "sphere", "det_water",
+                    Transform.TRS(scale=0.6, translate=det_pos), detectorId=1,
+                ),
+                # opaque blocker between typical scatter points and target
+                meshes.createInstance(
+                    "sphere", "occluder",
+                    Transform.TRS(scale=0.4, translate=(0.0, 1.5, 0.0)),
+                ),
+            ],
+            mats,
+            medium="water",
+            accel=accel,
+        )
+        if drop_split:
+            scene._pack = dataclasses.replace(scene._pack, shadow_split=None)
+        tracer = SceneForwardTracer(
+            2048,
+            SphericalLightSource(
+                position=(2.0, 0.0, 0.0), timeRange=(0.0, 5.0), budget=1e5
+            ),
+            UniformWavelengthSource(lambdaRange=(400.0, 500.0)),
+            HistogramHitResponse(nBins=40, t0=0.0, binSize=5.0 * u.ns),
+            PhiloxRNG(key=99),
+            scene,
+            maxPathLength=5,
+            targetId=1,
+            targetGuide=SphereTargetGuide(position=det_pos, radius=0.6),
+        )
+        hist, _ = tracer.run()
+        return np.asarray(hist)
+
+    for accel in ("brute", "bvh"):
+        h_split = run(accel, drop_split=False)
+        h_fused = run(accel, drop_split=True)
+        assert h_split.sum() > 0, accel
+        assert np.array_equal(h_split, h_fused), accel

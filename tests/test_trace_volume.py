@@ -23,6 +23,8 @@ from theia_tpu.target import InnerSphereTarget
 from theia_tpu.trace import VolumeForwardTracer
 
 
+pytestmark = pytest.mark.core  # fast smoke tier, see pyproject markers
+
 class Model(
     DispersionFreeMedium,
     HenyeyGreensteinPhaseFunction,

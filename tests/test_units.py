@@ -1,5 +1,7 @@
 """Unit machinery (reference: src/theia/units.py:62-231)."""
 
+import pytest
+
 import math
 
 import numpy as np
@@ -7,6 +9,8 @@ import jax.numpy as jnp
 
 import theia_tpu.units as u
 
+
+pytestmark = pytest.mark.core  # fast smoke tier, see pyproject markers
 
 def test_scales_match_reference_conventions():
     # internal units: m / ns / nm / GeV / rad (reference units.py:190-223)

@@ -33,6 +33,7 @@ __all__ = [
     "SurfaceHit",
     "anyhit_in_soup",
     "intersect_scene",
+    "intersect_target",
     "is_visible",
     "offset_ray",
 ]
@@ -173,6 +174,8 @@ def anyhit_in_soup(v0, e1, e2, origin, direction, t_max, chunk: int):
     hardware any-hit early-out, scene.intersect.glsl:104-124 — here at
     chunk granularity, the finest a lock-step wavefront supports)."""
     n_tri = v0.shape[0]
+    if n_tri == 0:  # e.g. a scene whose every triangle is a detector
+        return jnp.zeros((origin.shape[0],), bool)
     n_chunks = -(-n_tri // chunk)
     pad = n_chunks * chunk - n_tri
 
@@ -299,6 +302,15 @@ def intersect_scene(
         lax.stop_gradient(jnp.asarray(t_max, jnp.float32)),
         chunk,
     )
+    return _reconstruct_hit(pack, medium_handle, origin, direction, t_sel, tri)
+
+
+def _reconstruct_hit(
+    pack: ScenePack, medium_handle, origin, direction, t_sel, tri
+) -> SurfaceHit:
+    """Rebuild the full SurfaceHit for per-lane winning triangles ``tri``
+    (global ``tri_data`` rows, -1 on miss) — the shared back half of
+    :func:`intersect_scene` and :func:`intersect_target`."""
     valid = tri >= 0
     tri_safe = jnp.maximum(tri, 0)
 
@@ -374,6 +386,61 @@ def intersect_scene(
         world_to_obj=lin_w2o,
         error=error,
     )
+
+
+def intersect_target(
+    pack: ScenePack,
+    medium_handle: jax.Array,
+    origin: jax.Array,
+    direction: jax.Array,
+    t_max,
+    *,
+    chunk: int = DEFAULT_CHUNK,
+) -> SurfaceHit:
+    """Shadow-ray query: nearest hit *on a detector instance*, invalid if
+    any other geometry blocks the ray first.
+
+    Exploits that MIS shadow rays only respond on detector-flagged
+    instances (the reference's volume-mode target+occlusion split,
+    scene.traverse.glsl:234-269): nearest-hit ordering runs over the small
+    detector subsoup only, and the rest of the scene is a cheap any-hit
+    occlusion query bounded by the winner's distance (strictly before —
+    the winner itself can never re-trigger, its own t is not < t).
+    Measured 1.39x over the fused full-soup nearest on the bench scene
+    (PERF.md round 3). Only the pure brute backend uses the split: the
+    occlusion soup excludes detector triangles, so exactness needs the
+    occluders tested with bit-identical math to the subsoup nearest —
+    an accelerated occlusion query (bvh/instanced/mt/woop) recomputes t
+    with different fusions and can land an ulp below the bound on the
+    winner itself, falsely occluding it (observed on bvh). Accelerated
+    packs fall back to :func:`intersect_scene`."""
+    split = pack.shadow_split
+    accelerated = (
+        pack.mt is not None
+        or pack.woop is not None
+        or pack.instanced is not None
+        or pack.bvh is not None
+    )
+    if split is None or accelerated:
+        return intersect_scene(
+            pack, medium_handle, origin, direction, t_max, chunk=chunk
+        )
+    og = lax.stop_gradient(origin)
+    dg = lax.stop_gradient(direction)
+    tg = lax.stop_gradient(jnp.asarray(t_max, jnp.float32))
+    t_t, i_loc = nearest_in_soup(
+        split.det_v0, split.det_e1, split.det_e2, og, dg, tg, chunk
+    )
+    bound = jnp.minimum(t_t, jnp.broadcast_to(tg, t_t.shape))
+    occ = anyhit_in_soup(
+        split.nd_v0, split.nd_e1, split.nd_e2, og, dg, bound, chunk
+    )
+    valid = (i_loc >= 0) & ~occ
+    tri = jnp.where(
+        valid, jnp.take(split.det_idx, jnp.maximum(i_loc, 0)), -1
+    )
+    t_sel = jnp.where(valid, t_t, jnp.inf)
+    return _reconstruct_hit(pack, medium_handle, origin, direction, t_sel, tri)
 
 
 def is_visible(

@@ -33,6 +33,7 @@ __all__ = [
     "MeshStore",
     "Scene",
     "ScenePack",
+    "ShadowSplit",
     "AUTO_BVH_THRESHOLD",
     "AUTO_INSTANCED_THRESHOLD",
 ]
@@ -249,6 +250,31 @@ class MeshStore:
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class ShadowSplit:
+    """Detector-triangle subsoup for MIS shadow rays.
+
+    Shadow rays only ever *respond* on detector-flagged instances, so
+    ``accel.intersect_target`` finds the nearest hit on this small soup
+    and reduces the rest of the scene to a cheap any-hit occlusion query
+    bounded by that distance (measured 1.4x on the bench scene; the
+    reference's volume-mode pattern, scene.traverse.glsl:234-269).
+    Triangle order matches the pack's final (possibly Morton-permuted)
+    tables; ``det_idx`` maps subsoup rows back to global ``tri_data``
+    rows. Instance-id columns keep ``translate_instance`` working."""
+
+    det_v0: jax.Array  # (Td, 3) world-space detector triangles
+    det_e1: jax.Array
+    det_e2: jax.Array
+    det_idx: jax.Array  # (Td,) i32 global tri_data rows
+    det_inst: jax.Array  # (Td,) f32 instance ids
+    nd_v0: jax.Array  # (Tn, 3) every other triangle (occluders)
+    nd_e1: jax.Array
+    nd_e2: jax.Array
+    nd_inst: jax.Array  # (Tn,) f32
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class ScenePack:
     """Flat device arrays describing the scene (the BLAS/TLAS analogue).
 
@@ -285,6 +311,8 @@ class ScenePack:
     mt: "object | None" = None
     # optional two-level instanced traversal tables (ops.instanced)
     instanced: "object | None" = None
+    # optional detector subsoup for MIS shadow rays (accel.intersect_target)
+    shadow_split: "ShadowSplit | None" = None
 
     def translate_instance(self, instance_id: int, delta) -> "ScenePack":
         """Return a pack with instance ``instance_id`` rigidly shifted by
@@ -320,7 +348,22 @@ class ScenePack:
         inst_data = inst.at[instance_id].set(row)
         from dataclasses import replace as _dc_replace
 
-        return _dc_replace(self, w_v0=w_v0, tri_data=tri_data, inst_data=inst_data)
+        split = self.shadow_split
+        if split is not None:
+            dmask = (split.det_inst == float(instance_id))[:, None]
+            nmask = (split.nd_inst == float(instance_id))[:, None]
+            split = _dc_replace(
+                split,
+                det_v0=split.det_v0 + dmask * delta,
+                nd_v0=split.nd_v0 + nmask * delta,
+            )
+        return _dc_replace(
+            self,
+            w_v0=w_v0,
+            tri_data=tri_data,
+            inst_data=inst_data,
+            shadow_split=split,
+        )
 
 
 class Scene:
@@ -489,6 +532,33 @@ class Scene:
         inst_data[:, 27] = np.asarray(fl_out, np.float32)
         inst_data[:, 28] = np.asarray(det, np.float32)
 
+        # detector subsoup for MIS shadow rays (see ShadowSplit): built
+        # from the FINAL triangle order so det_idx rows match tri_data
+        from .material import MaterialFlags
+
+        det_bit = int(MaterialFlags.DETECTOR)
+        inst_is_det = np.asarray(
+            [(fi | fo) & det_bit != 0 for fi, fo in zip(fl_in, fl_out)]
+        )
+        all_inst = catn(tri_inst)
+        tri_is_det = inst_is_det[all_inst]
+        shadow_split = None
+        if tri_is_det.any():
+            cv0, ce1, ce2 = catn(w_v0), catn(w_e1), catn(w_e2)
+            didx = np.nonzero(tri_is_det)[0].astype(np.int32)
+            nidx = np.nonzero(~tri_is_det)[0].astype(np.int32)
+            shadow_split = ShadowSplit(
+                det_v0=jnp.asarray(cv0[didx]),
+                det_e1=jnp.asarray(ce1[didx]),
+                det_e2=jnp.asarray(ce2[didx]),
+                det_idx=jnp.asarray(didx),
+                det_inst=jnp.asarray(all_inst[didx].astype(np.float32)),
+                nd_v0=jnp.asarray(cv0[nidx]),
+                nd_e1=jnp.asarray(ce1[nidx]),
+                nd_e2=jnp.asarray(ce2[nidx]),
+                nd_inst=jnp.asarray(all_inst[nidx].astype(np.float32)),
+            )
+
         return ScenePack(
             w_v0=jnp.asarray(catn(w_v0)),
             w_e1=jnp.asarray(catn(w_e1)),
@@ -503,4 +573,5 @@ class Scene:
             woop=woop_pack,
             mt=mt_pack,
             instanced=instanced_pack,
+            shadow_split=shadow_split,
         )

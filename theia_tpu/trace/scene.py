@@ -24,7 +24,7 @@ import numpy as np
 from jax import lax
 
 from .. import units as u
-from ..accel import SurfaceHit, intersect_scene, offset_ray
+from ..accel import SurfaceHit, intersect_scene, intersect_target, offset_ray
 from ..callback import EmptyEventCallback, TraceEventCallback
 from ..component import Component, TraceConfig
 from ..light import LightSource, WavelengthSource
@@ -719,9 +719,13 @@ class SceneForwardTracer(TracerBase):
                 # fused shadow pair: both MIS shadow rays share the origin
                 # and medium, so one 2N intersection streams the triangle
                 # tables once for both (VERDICT r1 item 1); the responses
-                # stay sequential to preserve the RNG draw order
+                # stay sequential to preserve the RNG draw order. Shadow
+                # rays only respond on detector instances, so the query is
+                # the target-nearest + any-hit-occlusion split
+                # (accel.intersect_target, measured 1.39x over the fused
+                # full nearest — PERF.md round 3)
                 n_lane = streams.shape[0]
-                hit2 = intersect_scene(
+                hit2 = intersect_target(
                     pack,
                     jnp.concatenate([medium, medium]),
                     jnp.concatenate([ray.position, ray.position]),
