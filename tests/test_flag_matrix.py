@@ -140,3 +140,41 @@ def test_media_mismatch_counted_and_kills_path():
     _, stats = tracer.run()
     assert stats["mismatch"] == N
     assert stats["hit"] == 0
+
+
+def test_live_statistics_counters():
+    """live=True posts running totals to the host via jax.debug.callback
+    (the reference's host-mapped live counters, ref trace.py:77-186);
+    after the batch the live snapshot equals the final result."""
+    water = DispersionFreeMedium(
+        n=4.0 / 3.0, ng=4.0 / 3.0, mu_a=0.0, mu_s=0.0
+    ).createMedium(name="water")
+    store = MaterialStore.pack(
+        [Material("m", None, "water", flags="DB")], media=[water]
+    )
+    meshes = MeshStore({"p": plane(0.0)})
+    scene = Scene([meshes.createInstance("p", "m")], store, medium="water")
+    cb = EventStatisticCallback(live=True)
+    tracer = SceneForwardTracer(
+        N,
+        PencilLightSource(
+            position=(0.5, 0.3, 2.0),
+            direction=(0.0, 0.0, -1.0),
+            timeRange=(0.0, 0.0),
+            budget=1.0,
+        ),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        HistogramHitResponse(nBins=10, binSize=20.0, t0=0.0),
+        PhiloxRNG(key=0x11FE),
+        scene,
+        maxPathLength=3,
+        scatterCoefficient=1e-6,
+        maxTime=200.0,
+        callback=cb,
+    )
+    _, stats = tracer.run()
+    import jax
+
+    jax.effects_barrier()  # drain pending debug callbacks
+    assert stats["created"] == N
+    assert cb.statistics == stats

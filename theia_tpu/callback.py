@@ -82,11 +82,25 @@ _CODE_TO_FIELD = {
 
 class EventStatisticCallback(TraceEventCallback):
     """Counts events per result code
-    (reference: src/theia/trace.py:77-186, shader/callback.stat.glsl)."""
+    (reference: src/theia/trace.py:77-186, shader/callback.stat.glsl).
+
+    ``live=True`` restores the reference's *live* counters (its stat
+    buffer is host-mapped memory readable while the GPU runs): every
+    trace segment posts the running totals to the host through an
+    unordered ``jax.debug.callback``, so :attr:`statistics` can be polled
+    from another thread while a long batch executes on-device. Off by
+    default — the host callback costs a device->host transfer per
+    segment. Live counters are a single-device observability aid; under
+    ``shard_map`` each shard overwrites the same snapshot."""
 
     name = "Event Statistic Callback"
 
+    def __init__(self, *, live: bool = False) -> None:
+        self.live = live
+        self._live_counts = np.zeros(len(STAT_FIELDS), np.int64)
+
     def init(self, batch_size: int, max_steps: int):
+        self._live_counts = np.zeros(len(STAT_FIELDS), np.int64)
         return jnp.zeros(len(STAT_FIELDS), jnp.int32)
 
     def on_event(self, params, state, ray, code, mask, i, pol=None):
@@ -96,7 +110,19 @@ class EventStatisticCallback(TraceEventCallback):
             )
         # all errors also counted together
         err = mask & (code <= int(EventResultCode.ERROR_CODE_MAX_VALUE))
-        return state.at[10].add(jnp.sum(err.astype(jnp.int32)))
+        state = state.at[10].add(jnp.sum(err.astype(jnp.int32)))
+        if self.live:
+            jax.debug.callback(self._post_live, state, ordered=False)
+        return state
+
+    def _post_live(self, counts) -> None:
+        self._live_counts = np.asarray(counts).astype(np.int64)
+
+    @property
+    def statistics(self) -> dict[str, int]:
+        """Latest counters posted by the running batch (``live=True``);
+        after the batch completes they equal :meth:`result`."""
+        return {f: int(v) for f, v in zip(STAT_FIELDS, self._live_counts)}
 
     def result(self, params, state) -> dict[str, int]:
         vals = np.asarray(state)
