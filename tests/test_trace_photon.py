@@ -161,3 +161,58 @@ def test_photon_polarized_smoke():
     v = np.asarray(hits["valid"])
     st = np.asarray(hits["stokes"])[v]
     assert len(st) > 100 and np.isfinite(st).all()
+
+
+def test_run_compacted_matches_run():
+    """The compacted ladder (run_compacted) must reproduce run(): survivors
+    keep their stream ids and every run resyncs its dim base, so the draws
+    are identical — only float32 accumulation order differs."""
+    medium = Model(0.05, 0.02, 0.3).createMedium()  # strongly absorbing
+    def make():
+        return VolumePhotonTracer(
+            16 * 1024,
+            SphericalLightSource(
+                position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1.0
+            ),
+            InnerSphereTarget(position=(0.0, 0.0, 0.0), radius=200.0),
+            UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+            HistogramHitResponse(nBins=40, t0=0.0, binSize=25.0),
+            PhiloxRNG(key=0xFADE),
+            medium=medium,
+            nScatteringPerRun=4,
+            nRuns=6,
+            maxTime=float("inf"),
+        )
+
+    t1, t2 = make(), make()
+    h_plain, _ = t1.run()
+    h_comp = t2.run_compacted(min_lanes=512)
+    h_plain, h_comp = np.asarray(h_plain), np.asarray(h_comp)
+    assert h_plain.sum() > 0
+    assert np.allclose(h_plain, h_comp, rtol=1e-5, atol=1e-7 * h_plain.max())
+    # offsets advanced identically -> second batches also agree
+    h_plain2, _ = t1.run()
+    h_comp2 = t2.run_compacted(min_lanes=512)
+    assert np.allclose(
+        np.asarray(h_plain2), np.asarray(h_comp2),
+        rtol=1e-5, atol=1e-7 * h_plain.max(),
+    )
+
+
+def test_run_compacted_guards():
+    medium = Model(0.05, 0.02, 0.3).createMedium()
+    tracer = VolumePhotonTracer(
+        1024,
+        SphericalLightSource(
+            position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1.0
+        ),
+        InnerSphereTarget(position=(0.0, 0.0, 0.0), radius=200.0),
+        UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+        StoreTimeHitResponse(),
+        PhiloxRNG(key=1),
+        medium=medium,
+        nScatteringPerRun=2,
+        nRuns=2,
+    )
+    with pytest.raises(ValueError, match="additive response"):
+        tracer.run_compacted()

@@ -60,8 +60,9 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def pack_mt(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> MTPack:
+def pack_mt(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, bt: int = BT) -> MTPack:
     """Triangles must already be Morton-ordered; padding is unhittable."""
+    BT = bt
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
@@ -134,7 +135,9 @@ def _kernel(x_ref, tmax_ref, tri_ref, aabb_ref, t_out, idx_out, t_sc, i_sc):
                 & (b1 + b2 <= 1.0 + 1e-6)
                 & (t > 0.0)
             )
-            select_winner(jnp.where(hit, t, jnp.inf), k, BT, t_sc, i_sc)
+            select_winner(
+                jnp.where(hit, t, jnp.inf), k, tri_ref.shape[2], t_sc, i_sc
+            )
 
         return 0
 
@@ -143,17 +146,17 @@ def _kernel(x_ref, tmax_ref, tri_ref, aabb_ref, t_out, idx_out, t_sc, i_sc):
     idx_out[:] = i_sc[:]
 
 
-@functools.partial(jax.jit, static_argnames=("n_tri", "interpret"))
-def _call(x, tmax, tri, aabb, n_tri, interpret=False):
+@functools.partial(jax.jit, static_argnames=("n_tri", "bn", "interpret"))
+def _call(x, tmax, tri, aabb, n_tri, bn=BN, interpret=False):
     n_pad = x.shape[0]
     t, idx = pl.pallas_call(
         _kernel,
-        grid=(n_pad // BN,),
+        grid=(n_pad // bn,),
         in_specs=[
-            pl.BlockSpec((BN, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tri.shape[0], 9, BT),
+                tri.shape,
                 lambda i: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -162,16 +165,16 @@ def _call(x, tmax, tri, aabb, n_tri, interpret=False):
             ),
         ],
         out_specs=[
-            pl.BlockSpec((BN, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BN, 1), jnp.float32),
-            pltpu.VMEM((BN, 1), jnp.int32),
+            pltpu.VMEM((bn, 1), jnp.float32),
+            pltpu.VMEM((bn, 1), jnp.int32),
         ],
         interpret=interpret,
     )(x, tmax, tri, aabb)
@@ -189,6 +192,7 @@ def nearest_triangle_mt(
     *,
     interpret: bool | None = None,
     binned: bool | None = None,
+    bn: int = BN,
 ):
     """Nearest-hit query: returns (t, tri_idx); t=inf / idx=-1 on miss.
 
@@ -204,8 +208,10 @@ def nearest_triangle_mt(
         binned = pack.n_tri >= BIN_THRESHOLD
 
     def query(o, d, tm):
-        x, tmax, n = pack_rays(o, d, tm, BN)
-        t, idx = _call(x, tmax, pack.tri, pack.aabb, pack.n_tri, interpret)
+        x, tmax, n = pack_rays(o, d, tm, bn)
+        t, idx = _call(
+            x, tmax, pack.tri, pack.aabb, pack.n_tri, bn, interpret
+        )
         return t[:n], idx[:n]
 
     if binned:

@@ -4,8 +4,11 @@ The reference's wavefront photon mode traces PATH_LENGTH segments per
 "run", compacts survivors into a queue and relaunches with an indirect
 dispatch (reference: src/theia/trace.py:2370-2959,
 shader/tracer.{volume,scene}.photon.*.glsl, SURVEY.md §3.3). On TPU the
-wavefront already runs all lanes each segment, so compaction buys nothing:
-the runs collapse into ``nRuns x nScatteringPerRun`` masked loop segments.
+default path collapses the runs into ``nRuns x nScatteringPerRun`` masked
+loop segments inside one jitted program; when RR absorption empties the
+wavefront quickly, :meth:`VolumePhotonTracer.run_compacted` restores the
+queue economy as a host-driven static-shape ladder (measured 2.2-4.7x at
+5-40% per-run survival, PERF.md "photon compaction").
 The reference's *RNG schedule* is kept: every run starts at a fixed
 per-run dimension base (its relaunch pushes a uniform dim offset), so
 streams stay comparable.
@@ -164,19 +167,20 @@ class VolumePhotonTracer(TracerBase):
             "callback": self.callback.params(),
         }
 
-    def _trace_batch(self, p, counter, streams):
-        medium = p["medium"]
+    def _propagation(self, p) -> PropagateParams:
         lo = p["tracer"]["lowerBBox"]
         hi = p["tracer"]["upperBBox"]
-        prop = PropagateParams(
+        return PropagateParams(
             scatter_coefficient=jnp.float32(float("nan")),
             lower_bbox=lo,
             upper_bbox=hi,
             max_time=p["tracer"]["maxTime"],
             max_dist=jnp.linalg.norm(hi - lo),
         )
-        rng = self.rng.state_for(counter, streams)
 
+    def _init_photons(self, p, rng: RNGState, streams):
+        """Sample the initial photon wavefront (wavelength + source)."""
+        medium = p["medium"]
         (lam, _), rng = self.wavelengthSource.sample(p["photons"], rng)
         constants = medium_constants(medium, lam)
         src, rng = self.source.sample_forward(p["lightSource"], lam, constants, rng)
@@ -190,6 +194,16 @@ class VolumePhotonTracer(TracerBase):
             log_contrib=jnp.zeros_like(lam),
             constants=constants,
         )
+        occluded = self.target.occluded(p["target"], ray.position)
+        alive = active_lanes(streams, p) & ~occluded & ~ray.is_bad()
+        return ray, alive, occluded, rng
+
+    def _trace_batch(self, p, counter, streams):
+        medium = p["medium"]
+        prop = self._propagation(p)
+        rng = self.rng.state_for(counter, streams)
+        ray, alive, occluded, rng = self._init_photons(p, rng, streams)
+
         resp_state = self.response.init()
         n_steps = self.nRuns * self.nScatteringPerRun
         cb_state = self.callback.init(streams.shape[0], n_steps + 2)
@@ -202,7 +216,6 @@ class VolumePhotonTracer(TracerBase):
             all_lanes,
             0,
         )
-        occluded = self.target.occluded(p["target"], ray.position)
         cb_state = self.callback.on_event(
             p["callback"],
             cb_state,
@@ -213,10 +226,31 @@ class VolumePhotonTracer(TracerBase):
             occluded & all_lanes,
             0,
         )
-        alive = all_lanes & ~occluded & ~ray.is_bad()
 
-        def body(i, carry):
-            ray, alive, rng, resp_state, cb_state = carry
+        body = lambda i, carry: self._photon_step(p, prop, medium, i, carry)
+
+        carry = (ray, alive, rng, resp_state, cb_state)
+        ray, alive, rng, resp_state, cb_state = lax.fori_loop(
+            0, n_steps, body, carry
+        )
+        cb_state = self.callback.on_event(
+            p["callback"],
+            cb_state,
+            ray,
+            jnp.full_like(streams, int(EventResultCode.MAX_ITER), jnp.int32),
+            alive,
+            n_steps + 1,
+        )
+        if getattr(self, "_debug_rng", False):
+            # conformance hook: expose each lane's final dim counter
+            return resp_state, cb_state, rng.dim
+        return resp_state, cb_state
+
+    def _photon_step(self, p, prop, medium, i, carry):
+        """One trace segment (shared by the monolithic batch loop and the
+        compacted per-run launches); ``i`` is the traced global step."""
+        ray, alive, rng, resp_state, cb_state = carry
+        if True:  # keep the original body's indentation level
             pre_alive = alive
             # run-boundary dim resync (the reference's relaunch push.dim)
             run = i // self.nScatteringPerRun
@@ -311,23 +345,167 @@ class VolumePhotonTracer(TracerBase):
             )
             return ray, alive, rng, resp_state, cb_state
 
-        carry = (ray, alive, rng, resp_state, cb_state)
-        ray, alive, rng, resp_state, cb_state = lax.fori_loop(
-            0, n_steps, body, carry
-        )
-        cb_state = self.callback.on_event(
-            p["callback"],
-            cb_state,
-            ray,
-            jnp.full_like(streams, int(EventResultCode.MAX_ITER), jnp.int32),
-            alive,
-            n_steps + 1,
-        )
-        if getattr(self, "_debug_rng", False):
-            # conformance hook: expose each lane's final dim counter
-            return resp_state, cb_state, rng.dim
-        return resp_state, cb_state
+    # -- compacted execution (host-driven shrink ladder) -----------------
 
+    def run_compacted(
+        self,
+        *,
+        min_fill: float = 0.5,
+        min_lanes: int = 1024,
+        advance: bool = True,
+        replan: bool | None = None,
+    ):
+        """Trace one batch run-by-run, compacting survivors between runs.
+
+        The reference's photon mode compacts survivors into a queue and
+        relaunches with an indirect dispatch (reference:
+        src/theia/trace.py:2627-2668, wavefront queue economy). A single
+        fixed-shape ``fori_loop`` cannot shrink, so this mode launches
+        each *run* as its own jitted step and, whenever occupancy drops
+        below ``min_fill``, gathers survivors to the front and halves the
+        lane count (a static-shape ladder — one cached compile per size).
+        Survivors keep their original Philox stream ids and every run
+        resyncs its dim base, so the draws — and the histogram — match
+        :meth:`run` (up to float32 accumulation order).
+
+        Requires an additive response (histogram family) and no event
+        callback: per-run launches accumulate one response state but
+        cannot stitch per-step callback tensors across ladder sizes.
+
+        The first batch adapts: it synchronizes on the survivor count
+        after every run to pick ladder sizes (with 1/min_fill headroom)
+        and records the schedule. Subsequent batches *replay* the plan
+        with zero host syncs — launches chain asynchronously on-device,
+        which matters wherever dispatch round-trips are expensive.
+        Replayed gathers count survivors that exceeded the planned size
+        into :attr:`compaction_overflow` (dropped; re-run with
+        ``replan=True`` if nonzero — survival statistics shifted).
+
+        Wins when absorption kills lanes quickly; see PERF.md "photon
+        compaction" for measured crossovers. Returns the response result
+        (like :meth:`run`)."""
+        from ..response import HistogramHitResponse
+
+        if not isinstance(self.response, HistogramHitResponse):
+            raise ValueError(
+                "run_compacted needs an additive response (histogram "
+                f"family), got {type(self.response).__name__}"
+            )
+        if not isinstance(self.callback, EmptyEventCallback):
+            raise ValueError("run_compacted does not support event callbacks")
+
+        p = self.params()
+        counter = self.rng.counter_words
+        streams = self.streams()
+        ray, alive = self._jit_compact_init(p, counter, streams)
+        resp_state = self.response.init()
+
+        plan = self.__dict__.get("_compact_plan")
+        adapt = replan or plan is None
+        if not adapt and all(s == self.capacity for s in plan):
+            # auto heuristic: the adaptive batch found no shrinkage (high
+            # survival) — per-run launches would only add dispatch
+            # overhead, so delegate to the monolithic loop
+            return self.run(p, advance=advance)[0]
+        size = self.capacity
+        sizes: list[int] = []
+        overflow = jnp.zeros((), jnp.int32)
+        for run in range(self.nRuns):
+            ray, alive, resp_state = self._jit_run_chunk(size)(
+                p, counter, streams, jnp.uint32(run), ray, alive, resp_state
+            )
+            if run == self.nRuns - 1:
+                break
+            if adapt:
+                n_alive = int(jnp.sum(alive))  # host sync (first batch only)
+                new_size = size
+                while (
+                    new_size // 2 >= max(min_lanes, 1)
+                    and n_alive <= new_size // 2 * min_fill
+                ):
+                    new_size //= 2
+            else:
+                new_size = min(size, plan[run])
+            sizes.append(new_size)
+            if new_size != size:
+                ray, alive, streams, dropped = self._jit_compact_gather(
+                    new_size
+                )(ray, alive, streams)
+                overflow = overflow + dropped
+                size = new_size
+        if adapt:
+            self._compact_plan = sizes
+        # device scalar, fetched lazily by the property — converting here
+        # would block the async launch chain before the caller pipelines it
+        self._overflow_dev = overflow
+        if advance:
+            self.rng.advance()
+        return self.response.result(p["response"], resp_state)
+
+    @property
+    def compaction_overflow(self) -> int:
+        """Live photons dropped by the last replayed ladder (0 on adaptive
+        batches by construction); nonzero means re-run with replan=True."""
+        dev = self.__dict__.get("_overflow_dev")
+        return 0 if dev is None else int(dev)
+
+    @property
+    def _jit_compact_init(self):
+        fn = self.__dict__.get("_compact_init_fn")
+        if fn is None:
+
+            def init(p, counter, streams):
+                rng = self.rng.state_for(counter, streams)
+                ray, alive, _, _ = self._init_photons(p, rng, streams)
+                return ray, alive
+
+            fn = self.__dict__["_compact_init_fn"] = jax.jit(init)
+        return fn
+
+    def _jit_run_chunk(self, size: int):
+        cache = self.__dict__.setdefault("_compact_chunk_fns", {})
+        fn = cache.get(size)
+        if fn is None:
+
+            def chunk(p, counter, streams, run, ray, alive, resp_state):
+                medium = p["medium"]
+                prop = self._propagation(p)
+                rng = self.rng.state_for(counter, streams)
+
+                def body(j, carry):
+                    i = run * jnp.uint32(self.nScatteringPerRun) + jnp.uint32(j)
+                    r, a, g, rs = carry
+                    r, a, g, rs, _ = self._photon_step(
+                        p, prop, medium, i.astype(jnp.int32), (r, a, g, rs, None)
+                    )
+                    return r, a, g, rs
+
+                ray, alive, rng, resp_state = lax.fori_loop(
+                    0, self.nScatteringPerRun, body, (ray, alive, rng, resp_state)
+                )
+                return ray, alive, resp_state
+
+            fn = cache[size] = jax.jit(chunk)
+        return fn
+
+    def _jit_compact_gather(self, new_size: int):
+        cache = self.__dict__.setdefault("_compact_gather_fns", {})
+        fn = cache.get(new_size)
+        if fn is None:
+
+            def gather(ray, alive, streams):
+                # stable survivors-first permutation, truncated to the
+                # ladder size; on adaptive batches dropped lanes are dead
+                # by construction, on replays any live excess is counted
+                order = jnp.argsort(~alive)[:new_size]
+                take = lambda a: jnp.take(a, order, axis=0)
+                dropped = jnp.sum(alive.astype(jnp.int32)) - jnp.sum(
+                    jnp.take(alive, order).astype(jnp.int32)
+                )
+                return jax.tree.map(take, ray), take(alive), take(streams), dropped
+
+            fn = cache[new_size] = jax.jit(gather)
+        return fn
 
 
 class ScenePhotonTracer(SceneForwardTracer):
