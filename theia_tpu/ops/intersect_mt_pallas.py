@@ -40,8 +40,12 @@ from ._intersect_tiles import (
 
 __all__ = ["MTPack", "pack_mt", "nearest_triangle_mt"]
 
-BN = 512  # rays per grid step
-BT = 512  # triangles per tile
+BN = 256  # rays per grid step (round-3 sweep: 256-1024 within noise)
+BT = 512  # triangles per tile for big scenes (AABB culling regime)
+#: small scenes skip meaningful culling; wider tiles amortize the loop
+#: (round-3 sweep on 3840 tris: bt=2048 48.8 vs bt=512 33.0 Gtest/s)
+SMALL_SCENE_BT = 2048
+SMALL_SCENE_MAX_TRI = 4 * SMALL_SCENE_BT
 
 
 class MTPack:
@@ -60,8 +64,12 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def pack_mt(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, bt: int = BT) -> MTPack:
+def pack_mt(
+    v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, bt: int | None = None
+) -> MTPack:
     """Triangles must already be Morton-ordered; padding is unhittable."""
+    if bt is None:
+        bt = SMALL_SCENE_BT if v0.shape[0] <= SMALL_SCENE_MAX_TRI else BT
     BT = bt
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
