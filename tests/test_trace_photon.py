@@ -216,3 +216,52 @@ def test_run_compacted_guards():
     )
     with pytest.raises(ValueError, match="additive response"):
         tracer.run_compacted()
+
+
+def test_scene_run_compacted_matches_run():
+    """ScenePhotonTracer's compacted ladder carries each lane's dim counter
+    (the scene schedule has no per-run resync), so draws — and the light
+    curve — must match run() up to float32 accumulation order."""
+    from theia_tpu.material import Material, MaterialStore
+    from theia_tpu.scene import MeshStore, Scene, Transform
+    from theia_tpu.trace.photon import ScenePhotonTracer
+
+    medium = Model(0.02, 0.01, 0.3).createMedium()  # absorbing water
+    store = MaterialStore.pack([Material("det", medium, None, flags="DB")])
+    meshes = MeshStore({"sphere": "/root/reference/assets/sphere.stl"})
+    scene = Scene(
+        [meshes.createInstance("sphere", "det", Transform.TRS(scale=120.0))],
+        store,
+        medium="homogenous",
+    )
+
+    def make():
+        return ScenePhotonTracer(
+            8 * 1024,
+            SphericalLightSource(
+                position=(0.0, 0.0, 0.0), timeRange=(0.0, 0.0), budget=1.0
+            ),
+            UniformWavelengthSource(lambdaRange=(450.0, 450.0)),
+            HistogramHitResponse(nBins=40, t0=0.0, binSize=40.0),
+            PhiloxRNG(key=0xCAFE),
+            scene,
+            nScatteringPerRun=4,
+            nRuns=5,
+            maxTime=float("inf"),
+        )
+
+    t1, t2 = make(), make()
+    h_plain, _ = t1.run()
+    h_comp = t2.run_compacted(min_lanes=512)
+    h_plain, h_comp = np.asarray(h_plain), np.asarray(h_comp)
+    assert h_plain.sum() > 0
+    assert len(t2._compact_plan) and min(t2._compact_plan) < 8 * 1024  # shrank
+    assert np.allclose(h_plain, h_comp, rtol=1e-5, atol=1e-7 * h_plain.max())
+    # replay path (no host syncs) also agrees and drops nothing
+    h_plain2, _ = t1.run()
+    h_comp2 = t2.run_compacted(min_lanes=512)
+    assert t2.compaction_overflow == 0
+    assert np.allclose(
+        np.asarray(h_plain2), np.asarray(h_comp2),
+        rtol=1e-5, atol=1e-7 * h_plain.max(),
+    )

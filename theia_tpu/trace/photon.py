@@ -78,7 +78,153 @@ def _sample_absorption(ray: RayState, alive, rng: RNGState):
     return new, alive & survive, rng
 
 
-class VolumePhotonTracer(TracerBase):
+class _CompactionLadderMixin:
+    """Host-driven shrink-ladder execution for the photon tracers.
+
+    The reference's photon mode compacts survivors into a queue and
+    relaunches with an indirect dispatch (reference:
+    src/theia/trace.py:2627-2668, wavefront queue economy). A single
+    fixed-shape ``fori_loop`` cannot shrink, so :meth:`run_compacted`
+    launches each *run* as its own jitted step and, whenever occupancy
+    drops below ``min_fill``, gathers survivors to the front (stable
+    argsort) and halves the lane count — a static-shape ladder with one
+    cached compile per size. Survivors keep their original Philox stream
+    ids (and, where applicable, their per-lane dim counters), so the
+    draws — and the histogram — match :meth:`run` up to float32
+    accumulation order.
+
+    Subclass hooks: ``_ladder_init(p, counter, streams) -> state`` (a
+    dict of per-lane arrays that must include ``"alive"`` and
+    ``"streams"``) and ``_ladder_chunk(p, counter, run, state,
+    resp_state) -> (state, resp_state)`` tracing one run.
+    """
+
+    def run_compacted(
+        self,
+        *,
+        min_fill: float = 0.5,
+        min_lanes: int = 1024,
+        advance: bool = True,
+        replan: bool | None = None,
+    ):
+        """Trace one batch run-by-run, compacting survivors between runs.
+
+        Requires an additive response (histogram family) and no event
+        callback: per-run launches accumulate one response state but
+        cannot stitch per-step callback tensors across ladder sizes.
+
+        The first batch adapts: it synchronizes on the survivor count
+        after every run to pick ladder sizes (with 1/min_fill headroom)
+        and records the schedule. Subsequent batches *replay* the plan
+        with zero host syncs — launches chain asynchronously on-device,
+        which matters wherever dispatch round-trips are expensive.
+        Replayed gathers count survivors that exceeded the planned size
+        into :attr:`compaction_overflow` (dropped; re-run with
+        ``replan=True`` if nonzero — survival statistics shifted). If
+        the adaptive batch finds no shrinkage, replays auto-delegate to
+        the monolithic loop.
+
+        Wins when absorption kills lanes quickly (measured 2.2-4.7x at
+        5-40% per-run survival, PERF.md "photon compaction"). Returns
+        the response result (like :meth:`run`)."""
+        from ..response import HistogramHitResponse
+
+        if not isinstance(self.response, HistogramHitResponse):
+            raise ValueError(
+                "run_compacted needs an additive response (histogram "
+                f"family), got {type(self.response).__name__}"
+            )
+        if not isinstance(self.callback, EmptyEventCallback):
+            raise ValueError("run_compacted does not support event callbacks")
+
+        p = self.params()
+        counter = self.rng.counter_words
+        state = self._jit_ladder_init(p, counter, self.streams())
+        resp_state = self.response.init()
+
+        plan = self.__dict__.get("_compact_plan")
+        adapt = replan or plan is None
+        if not adapt and all(s == self.capacity for s in plan):
+            # auto heuristic: the adaptive batch found no shrinkage (high
+            # survival) — per-run launches would only add dispatch
+            # overhead, so delegate to the monolithic loop
+            return self.run(p, advance=advance)[0]
+        size = self.capacity
+        sizes: list[int] = []
+        overflow = jnp.zeros((), jnp.int32)
+        for run in range(self.nRuns):
+            state, resp_state = self._jit_ladder_chunk(size)(
+                p, counter, jnp.uint32(run), state, resp_state
+            )
+            if run == self.nRuns - 1:
+                break
+            if adapt:
+                n_alive = int(jnp.sum(state["alive"]))  # host sync (1st batch)
+                new_size = size
+                while (
+                    new_size // 2 >= max(min_lanes, 1)
+                    and n_alive <= new_size // 2 * min_fill
+                ):
+                    new_size //= 2
+            else:
+                new_size = min(size, plan[run])
+            sizes.append(new_size)
+            if new_size != size:
+                state, dropped = self._jit_ladder_gather(new_size)(state)
+                overflow = overflow + dropped
+                size = new_size
+        if adapt:
+            self._compact_plan = sizes
+        # device scalar, fetched lazily by the property — converting here
+        # would block the async launch chain before the caller pipelines it
+        self._overflow_dev = overflow
+        if advance:
+            self.rng.advance()
+        return self.response.result(p["response"], resp_state)
+
+    @property
+    def compaction_overflow(self) -> int:
+        """Live photons dropped by the last replayed ladder (0 on adaptive
+        batches by construction); nonzero means re-run with replan=True."""
+        dev = self.__dict__.get("_overflow_dev")
+        return 0 if dev is None else int(dev)
+
+    @property
+    def _jit_ladder_init(self):
+        fn = self.__dict__.get("_ladder_init_fn")
+        if fn is None:
+            fn = self.__dict__["_ladder_init_fn"] = jax.jit(self._ladder_init)
+        return fn
+
+    def _jit_ladder_chunk(self, size: int):
+        cache = self.__dict__.setdefault("_ladder_chunk_fns", {})
+        fn = cache.get(size)
+        if fn is None:
+            fn = cache[size] = jax.jit(self._ladder_chunk)
+        return fn
+
+    def _jit_ladder_gather(self, new_size: int):
+        cache = self.__dict__.setdefault("_ladder_gather_fns", {})
+        fn = cache.get(new_size)
+        if fn is None:
+
+            def gather(state):
+                # stable survivors-first permutation, truncated to the
+                # ladder size; on adaptive batches dropped lanes are dead
+                # by construction, on replays any live excess is counted
+                alive = state["alive"]
+                order = jnp.argsort(~alive)[:new_size]
+                take = lambda a: jnp.take(a, order, axis=0)
+                dropped = jnp.sum(alive.astype(jnp.int32)) - jnp.sum(
+                    take(alive).astype(jnp.int32)
+                )
+                return jax.tree.map(take, state), dropped
+
+            fn = cache[new_size] = jax.jit(gather)
+        return fn
+
+
+class VolumePhotonTracer(_CompactionLadderMixin, TracerBase):
     """Photon-resolved volume tracing against an analytic target
     (reference: src/theia/trace.py:2671-2959)."""
 
@@ -345,170 +491,38 @@ class VolumePhotonTracer(TracerBase):
             )
             return ray, alive, rng, resp_state, cb_state
 
-    # -- compacted execution (host-driven shrink ladder) -----------------
+    # -- compacted execution hooks (see _CompactionLadderMixin) ----------
 
-    def run_compacted(
-        self,
-        *,
-        min_fill: float = 0.5,
-        min_lanes: int = 1024,
-        advance: bool = True,
-        replan: bool | None = None,
-    ):
-        """Trace one batch run-by-run, compacting survivors between runs.
+    def _ladder_init(self, p, counter, streams):
+        rng = self.rng.state_for(counter, streams)
+        ray, alive, _, _ = self._init_photons(p, rng, streams)
+        # dim is NOT carried: every run resyncs to its fixed base inside
+        # _photon_step (the reference's relaunch push.dim)
+        return {"ray": ray, "alive": alive, "streams": streams}
 
-        The reference's photon mode compacts survivors into a queue and
-        relaunches with an indirect dispatch (reference:
-        src/theia/trace.py:2627-2668, wavefront queue economy). A single
-        fixed-shape ``fori_loop`` cannot shrink, so this mode launches
-        each *run* as its own jitted step and, whenever occupancy drops
-        below ``min_fill``, gathers survivors to the front and halves the
-        lane count (a static-shape ladder — one cached compile per size).
-        Survivors keep their original Philox stream ids and every run
-        resyncs its dim base, so the draws — and the histogram — match
-        :meth:`run` (up to float32 accumulation order).
+    def _ladder_chunk(self, p, counter, run, state, resp_state):
+        medium = p["medium"]
+        prop = self._propagation(p)
+        rng = self.rng.state_for(counter, state["streams"])
 
-        Requires an additive response (histogram family) and no event
-        callback: per-run launches accumulate one response state but
-        cannot stitch per-step callback tensors across ladder sizes.
-
-        The first batch adapts: it synchronizes on the survivor count
-        after every run to pick ladder sizes (with 1/min_fill headroom)
-        and records the schedule. Subsequent batches *replay* the plan
-        with zero host syncs — launches chain asynchronously on-device,
-        which matters wherever dispatch round-trips are expensive.
-        Replayed gathers count survivors that exceeded the planned size
-        into :attr:`compaction_overflow` (dropped; re-run with
-        ``replan=True`` if nonzero — survival statistics shifted).
-
-        Wins when absorption kills lanes quickly; see PERF.md "photon
-        compaction" for measured crossovers. Returns the response result
-        (like :meth:`run`)."""
-        from ..response import HistogramHitResponse
-
-        if not isinstance(self.response, HistogramHitResponse):
-            raise ValueError(
-                "run_compacted needs an additive response (histogram "
-                f"family), got {type(self.response).__name__}"
+        def body(j, carry):
+            i = (run * jnp.uint32(self.nScatteringPerRun)).astype(jnp.int32) + j
+            r, a, g, rs = carry
+            r, a, g, rs, _ = self._photon_step(
+                p, prop, medium, i, (r, a, g, rs, None)
             )
-        if not isinstance(self.callback, EmptyEventCallback):
-            raise ValueError("run_compacted does not support event callbacks")
+            return r, a, g, rs
 
-        p = self.params()
-        counter = self.rng.counter_words
-        streams = self.streams()
-        ray, alive = self._jit_compact_init(p, counter, streams)
-        resp_state = self.response.init()
-
-        plan = self.__dict__.get("_compact_plan")
-        adapt = replan or plan is None
-        if not adapt and all(s == self.capacity for s in plan):
-            # auto heuristic: the adaptive batch found no shrinkage (high
-            # survival) — per-run launches would only add dispatch
-            # overhead, so delegate to the monolithic loop
-            return self.run(p, advance=advance)[0]
-        size = self.capacity
-        sizes: list[int] = []
-        overflow = jnp.zeros((), jnp.int32)
-        for run in range(self.nRuns):
-            ray, alive, resp_state = self._jit_run_chunk(size)(
-                p, counter, streams, jnp.uint32(run), ray, alive, resp_state
-            )
-            if run == self.nRuns - 1:
-                break
-            if adapt:
-                n_alive = int(jnp.sum(alive))  # host sync (first batch only)
-                new_size = size
-                while (
-                    new_size // 2 >= max(min_lanes, 1)
-                    and n_alive <= new_size // 2 * min_fill
-                ):
-                    new_size //= 2
-            else:
-                new_size = min(size, plan[run])
-            sizes.append(new_size)
-            if new_size != size:
-                ray, alive, streams, dropped = self._jit_compact_gather(
-                    new_size
-                )(ray, alive, streams)
-                overflow = overflow + dropped
-                size = new_size
-        if adapt:
-            self._compact_plan = sizes
-        # device scalar, fetched lazily by the property — converting here
-        # would block the async launch chain before the caller pipelines it
-        self._overflow_dev = overflow
-        if advance:
-            self.rng.advance()
-        return self.response.result(p["response"], resp_state)
-
-    @property
-    def compaction_overflow(self) -> int:
-        """Live photons dropped by the last replayed ladder (0 on adaptive
-        batches by construction); nonzero means re-run with replan=True."""
-        dev = self.__dict__.get("_overflow_dev")
-        return 0 if dev is None else int(dev)
-
-    @property
-    def _jit_compact_init(self):
-        fn = self.__dict__.get("_compact_init_fn")
-        if fn is None:
-
-            def init(p, counter, streams):
-                rng = self.rng.state_for(counter, streams)
-                ray, alive, _, _ = self._init_photons(p, rng, streams)
-                return ray, alive
-
-            fn = self.__dict__["_compact_init_fn"] = jax.jit(init)
-        return fn
-
-    def _jit_run_chunk(self, size: int):
-        cache = self.__dict__.setdefault("_compact_chunk_fns", {})
-        fn = cache.get(size)
-        if fn is None:
-
-            def chunk(p, counter, streams, run, ray, alive, resp_state):
-                medium = p["medium"]
-                prop = self._propagation(p)
-                rng = self.rng.state_for(counter, streams)
-
-                def body(j, carry):
-                    i = run * jnp.uint32(self.nScatteringPerRun) + jnp.uint32(j)
-                    r, a, g, rs = carry
-                    r, a, g, rs, _ = self._photon_step(
-                        p, prop, medium, i.astype(jnp.int32), (r, a, g, rs, None)
-                    )
-                    return r, a, g, rs
-
-                ray, alive, rng, resp_state = lax.fori_loop(
-                    0, self.nScatteringPerRun, body, (ray, alive, rng, resp_state)
-                )
-                return ray, alive, resp_state
-
-            fn = cache[size] = jax.jit(chunk)
-        return fn
-
-    def _jit_compact_gather(self, new_size: int):
-        cache = self.__dict__.setdefault("_compact_gather_fns", {})
-        fn = cache.get(new_size)
-        if fn is None:
-
-            def gather(ray, alive, streams):
-                # stable survivors-first permutation, truncated to the
-                # ladder size; on adaptive batches dropped lanes are dead
-                # by construction, on replays any live excess is counted
-                order = jnp.argsort(~alive)[:new_size]
-                take = lambda a: jnp.take(a, order, axis=0)
-                dropped = jnp.sum(alive.astype(jnp.int32)) - jnp.sum(
-                    jnp.take(alive, order).astype(jnp.int32)
-                )
-                return jax.tree.map(take, ray), take(alive), take(streams), dropped
-
-            fn = cache[new_size] = jax.jit(gather)
-        return fn
+        ray, alive, rng, resp_state = lax.fori_loop(
+            0,
+            self.nScatteringPerRun,
+            body,
+            (state["ray"], state["alive"], rng, resp_state),
+        )
+        return {**state, "ray": ray, "alive": alive}, resp_state
 
 
-class ScenePhotonTracer(SceneForwardTracer):
+class ScenePhotonTracer(_CompactionLadderMixin, SceneForwardTracer):
     """Photon-resolved scene tracing: SceneForwardTracer's surface physics
     with Russian-roulette absorption, no MIS, responses always allowed
     (reference: src/theia/trace.py:2370-2668,
@@ -553,3 +567,66 @@ class ScenePhotonTracer(SceneForwardTracer):
 
     def _photon_absorb(self, ray, alive, rng):
         return _sample_absorption(ray, alive, rng)
+
+    # -- compacted execution hooks (see _CompactionLadderMixin) ----------
+
+    def _ladder_init(self, p, counter, streams):
+        from .core import active_lanes
+
+        pack = p["scene"]
+        rng = self.rng.state_for(counter, streams)
+        ray, medium, pol, rng = self._sample_initial(p, pack, streams, rng)
+        alive = active_lanes(streams, p) & ~ray.is_bad()
+        allow = jnp.full(streams.shape, True)
+        state = {
+            "ray": ray,
+            "medium": medium,
+            "alive": alive,
+            "allow": allow,
+            # the scene schedule has no per-run resync: carry each lane's
+            # dim counter across runs (and through compaction gathers)
+            "dim": rng.dim,
+            "streams": streams,
+        }
+        if pol is not None:
+            state["pol"] = pol
+        return state
+
+    def _ladder_chunk(self, p, counter, run, state, resp_state):
+        pack = p["scene"]
+        prop = self._propagation(p)
+        streams = state["streams"]
+        body = self._segment_body(
+            p, pack, prop, self.targetGuide is not None, streams
+        )
+        rng = replace(self.rng.state_for(counter, streams), dim=state["dim"])
+        pol = state.get("pol")
+
+        def body_j(j, carry):
+            i = (run * jnp.uint32(self.nScatteringPerRun)).astype(jnp.int32) + j
+            return body(i, carry)
+
+        carry = (
+            state["ray"],
+            state["medium"],
+            state["alive"],
+            state["allow"],
+            pol,
+            rng,
+            resp_state,
+            None,
+        )
+        ray, medium, alive, allow, pol, rng, resp_state, _ = lax.fori_loop(
+            0, self.nScatteringPerRun, body_j, carry
+        )
+        new_state = {
+            **state,
+            "ray": ray,
+            "medium": medium,
+            "alive": alive,
+            "allow": allow,
+            "dim": rng.dim,
+        }
+        if pol is not None:
+            new_state["pol"] = pol
+        return new_state, resp_state

@@ -442,29 +442,10 @@ class SceneForwardTracer(TracerBase):
 
     # -- the traced program ---------------------------------------------
 
-    def _trace_batch(self, p, counter, streams):
-        pack: ScenePack = p["scene"]
-        prop = self._propagation(p)
-        mis = self.targetGuide is not None
-        rng = self.rng.state_for(counter, streams)
-
-        ray, medium, pol, rng = self._sample_initial(p, pack, streams, rng)
-
-        resp_state = self.response.init()
-        cb_state = self.callback.init(streams.shape[0], self.maxPathLength + 2)
-        cb_state = self.callback.on_event(
-            p["callback"],
-            cb_state,
-            ray,
-            jnp.full_like(streams, int(EventResultCode.RAY_CREATED), jnp.int32),
-            active_lanes(streams, p),
-            0,
-         pol=pol,)
-        alive = active_lanes(streams, p) & ~ray.is_bad()
-        allow_response = jnp.full(
-            streams.shape, not self.disableDirectLighting, dtype=bool
-        )
-
+    def _segment_body(self, p, pack, prop, mis, streams):
+        """Build the per-segment loop body (shared by the monolithic
+        batch loop and ScenePhotonTracer's compacted per-run launches).
+        ``i`` is the traced global segment index."""
         def body(i, carry):
             ray, medium, alive, allow_response, pol, rng, resp_state, cb_state = (
                 carry
@@ -842,6 +823,33 @@ class SceneForwardTracer(TracerBase):
             return (
                 ray, medium, alive, allow_response, pol, rng, resp_state, cb_state
             )
+
+        return body
+
+    def _trace_batch(self, p, counter, streams):
+        pack: ScenePack = p["scene"]
+        prop = self._propagation(p)
+        mis = self.targetGuide is not None
+        rng = self.rng.state_for(counter, streams)
+
+        ray, medium, pol, rng = self._sample_initial(p, pack, streams, rng)
+
+        resp_state = self.response.init()
+        cb_state = self.callback.init(streams.shape[0], self.maxPathLength + 2)
+        cb_state = self.callback.on_event(
+            p["callback"],
+            cb_state,
+            ray,
+            jnp.full_like(streams, int(EventResultCode.RAY_CREATED), jnp.int32),
+            active_lanes(streams, p),
+            0,
+         pol=pol,)
+        alive = active_lanes(streams, p) & ~ray.is_bad()
+        allow_response = jnp.full(
+            streams.shape, not self.disableDirectLighting, dtype=bool
+        )
+
+        body = self._segment_body(p, pack, prop, mis, streams)
 
         carry = (ray, medium, alive, allow_response, pol, rng, resp_state, cb_state)
         ray, medium, alive, allow_response, pol, rng, resp_state, cb_state = (
