@@ -163,16 +163,21 @@ def _nearest_triangle(pack: ScenePack, origin, direction, t_max, chunk: int):
     )
 
 
-def anyhit_in_soup(v0, e1, e2, origin, direction, t_max, chunk: int):
+def anyhit_in_soup(
+    v0, e1, e2, origin, direction, t_max, chunk: int, *, early_exit: bool = False
+):
     """Any-hit occlusion over a (T, 3) triangle soup: True where some
     triangle blocks the ray strictly before ``t_max``.
 
     Visibility queries never need the winner: dropping the nearest-hit
     bookkeeping (min-t + masked index reduce per chunk) leaves only the
-    Moeller-Trumbore test and a single OR-reduce, and a ``while_loop``
-    over chunks stops as soon as every lane is occluded (the reference's
-    hardware any-hit early-out, scene.intersect.glsl:104-124 — here at
-    chunk granularity, the finest a lock-step wavefront supports)."""
+    Moeller-Trumbore test and a single OR-reduce. ``early_exit=True``
+    swaps the chunk loop for a ``while_loop`` that stops once every lane
+    is occluded (the reference's hardware any-hit early-out,
+    scene.intersect.glsl:104-124, at chunk granularity) — but its
+    all-lanes AND-reduce per chunk is itself a full-wavefront pass, which
+    profiled at ~15% of the MIS shadow cost while never triggering
+    (PERF.md round 3); default off."""
     n_tri = v0.shape[0]
     if n_tri == 0:  # e.g. a scene whose every triangle is a detector
         return jnp.zeros((origin.shape[0],), bool)
@@ -221,6 +226,10 @@ def anyhit_in_soup(v0, e1, e2, origin, direction, t_max, chunk: int):
         )
         return occ | jnp.any(hit, axis=-1)
 
+    occ0 = jnp.zeros((N,), bool)
+    if not early_exit:
+        return lax.fori_loop(0, n_chunks, chunk_occludes, occ0)
+
     def cond(carry):
         k, occ = carry
         return (k < n_chunks) & ~jnp.all(occ)
@@ -229,7 +238,7 @@ def anyhit_in_soup(v0, e1, e2, origin, direction, t_max, chunk: int):
         k, occ = carry
         return k + 1, chunk_occludes(k, occ)
 
-    _, occ = lax.while_loop(cond, body, (jnp.int32(0), jnp.zeros((N,), bool)))
+    _, occ = lax.while_loop(cond, body, (jnp.int32(0), occ0))
     return occ
 
 
