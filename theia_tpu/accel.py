@@ -128,12 +128,28 @@ def nearest_in_soup(v0, e1, e2, origin, direction, t_max, chunk: int):
             & (t > 0.0)
         )
         t = jnp.where(hit, t, jnp.inf)
-        # gather-free reduction: min t, then index via masked reduce
-        # (take_along_axis per-row gathers were the dominant cost on TPU)
-        tt = jnp.min(t, axis=-1)
+        # gather-free reduction: ONE variadic lexicographic reduce gives
+        # (min t, lowest index at min) in a single pass. Two separate
+        # reductions (min, then masked index-min against the broadcast
+        # minimum) made XLA rematerialize the whole (N, C) t matrix —
+        # i.e. redo the Moeller-Trumbore math — for the second pass
+        # (profiled round 3: twin ~equal-cost fusions per chunk).
         local = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        idx_c = jnp.min(
-            jnp.where(t == tt[:, None], local, jnp.int32(0x7FFFFFFF)), axis=-1
+
+        def lexi_min(a, b):
+            at, ai = a
+            bt, bi = b
+            take_b = (bt < at) | ((bt == at) & (bi < ai))
+            return (
+                jnp.where(take_b, bt, at),
+                jnp.where(take_b, bi, ai),
+            )
+
+        tt, idx_c = lax.reduce(
+            (t, local),
+            (jnp.float32(jnp.inf), jnp.int32(0x7FFFFFFF)),
+            lexi_min,
+            (1,),
         )
         better = tt < best_t
         best_i = jnp.where(better, idx_c + base, best_i)
