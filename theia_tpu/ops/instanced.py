@@ -191,10 +191,21 @@ def _next_candidate(g: GroupPack, origin, inv_dir, last_tn, last_k, t_best):
             )
         )
         tn = jnp.where(ok, tn, jnp.inf)
-        cand_tn = jnp.min(tn, axis=-1)  # (N,)
-        cand_k = jnp.min(
-            jnp.where(tn == cand_tn[:, None], ks, jnp.int32(0x7FFFFFFF)),
-            axis=-1,
+        # single lexicographic reduce: separate (min, masked index-min)
+        # reductions made XLA rematerialize the slab math for the second
+        # pass (same fix as accel.nearest_in_soup, PERF.md round 3)
+
+        def lexi_min(a, b):
+            at, ai = a
+            bt, bi = b
+            take_b = (bt < at) | ((bt == at) & (bi < ai))
+            return jnp.where(take_b, bt, at), jnp.where(take_b, bi, ai)
+
+        cand_tn, cand_k = lax.reduce(
+            (tn, ks),
+            (jnp.float32(jnp.inf), jnp.int32(0x7FFFFFFF)),
+            lexi_min,
+            (1,),
         )
         better = (cand_tn < best_tn) | (
             (cand_tn == best_tn) & (cand_k < best_k)
