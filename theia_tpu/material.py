@@ -16,6 +16,7 @@ tables addressed by integer handles (the TPU analogue of the reference's
 
 from __future__ import annotations
 
+import functools
 import importlib.resources
 import json
 import re
@@ -282,6 +283,12 @@ class MediumStore:
     tables: dict[str, jax.Array]  # kind -> f32[M, Lmax]
     sizes: dict[str, jax.Array]  # kind -> i32[M]
     names: tuple[str, ...] = field(metadata=dict(static=True))
+    #: every medium's four constants tables (mu_a, mu_s, n, vg) share one
+    #: length (or are null) -> packed_medium_constants may fuse them into
+    #: a single 4-wide row lookup (2 row gathers instead of 12 scalar
+    #: gathers per lane; measured in PERF.md round 3). Static so the
+    #: traced program can branch on it.
+    const4_ok: bool = field(default=False, metadata=dict(static=True))
 
     @staticmethod
     def pack(media: list[Medium]) -> "MediumStore":
@@ -312,12 +319,17 @@ class MediumStore:
         for i, m in enumerate(media):
             lam_min[i + 1] = float(m.lambda_min)
             lam_max[i + 1] = float(m.lambda_max)
+        const4_ok = all(
+            len({int(sizes[k][i]) for k in _CONST4_KINDS} - {0}) <= 1
+            for i in range(M)
+        )
         return MediumStore(
             lambda_min=jnp.asarray(lam_min),
             lambda_max=jnp.asarray(lam_max),
             tables={k: jnp.asarray(v) for k, v in tables.items()},
             sizes={k: jnp.asarray(v) for k, v in sizes.items()},
             names=tuple(names),
+            const4_ok=const4_ok,
         )
 
     def handle(self, name: str | None) -> int:
@@ -364,14 +376,62 @@ def lookup_packed(
     return jnp.where(n == 0, jnp.float32(null_value), res)
 
 
+#: the four constants tables fused by packed_medium_constants, with their
+#: null-table default values (reference null-pointer semantics)
+_CONST4_KINDS = (
+    "absorption_coef",
+    "scattering_coef",
+    "refractive_index",
+    "group_velocity",
+)
+_CONST4_NULLS = (0.0, 0.0, 1.0, speed_of_light)
+
+
 def packed_medium_constants(
     store: MediumStore, handle: jax.Array, wavelength
 ) -> MediumConstants:
-    """Per-lane medium constants by handle (handle 0 = vacuum)."""
+    """Per-lane medium constants by handle (handle 0 = vacuum).
+
+    When the store's four constants tables share one length per medium
+    (``const4_ok``, the createMedium default), they are stacked into a
+    single (M, Lmax, 4) table *inside the traced program* — loop-invariant,
+    so XLA hoists it, and gradients/runtime patches on the individual
+    tables still flow — and each lane pays 2 four-wide row gathers instead
+    of 12 scalar gathers (bit-identical arithmetic; measured in PERF.md
+    round 3)."""
     wavelength = jnp.asarray(wavelength, jnp.float32)
     lmin = jnp.take(store.lambda_min, handle)
     lmax = jnp.take(store.lambda_max, handle)
     t = jnp.clip((wavelength - lmin) / (lmax - lmin), 0.0, 1.0)
+    if store.const4_ok:
+        sz = [store.sizes[k] for k in _CONST4_KINDS]
+        eff = [
+            jnp.where(
+                (s == 0)[:, None], jnp.float32(null), store.tables[k]
+            )
+            for k, s, null in zip(_CONST4_KINDS, sz, _CONST4_NULLS)
+        ]
+        pad = max(e.shape[1] for e in eff)
+        eff = [jnp.pad(e, ((0, 0), (0, pad - e.shape[1]))) for e in eff]
+        stacked = jnp.stack(eff, axis=-1)  # (M, pad, 4), hoisted
+        n4 = functools.reduce(jnp.maximum, sz)
+        n = jnp.take(n4, handle)
+        tt = t * jnp.maximum(n - 1, 1).astype(jnp.float32)
+        lo = jnp.floor(tt).astype(jnp.int32)
+        hi = jnp.ceil(tt).astype(jnp.int32)
+        l = (tt - jnp.floor(tt))[..., None]
+        rows = stacked.reshape(-1, 4)
+        base = handle * pad
+        v_lo = jnp.take(rows, base + jnp.clip(lo, 0, pad - 1), axis=0)
+        v_hi = jnp.take(rows, base + jnp.clip(hi, 0, pad - 1), axis=0)
+        res = v_lo * (1.0 - l) + v_hi * l
+        res = jnp.where(
+            (n == 0)[..., None], jnp.asarray(_CONST4_NULLS, jnp.float32), res
+        )
+        mu_a, mu_s = res[..., 0], res[..., 1]
+        return MediumConstants(
+            n=res[..., 2], vg=res[..., 3], mu_s=mu_s, mu_e=mu_a + mu_s
+        )
     mu_a = lookup_packed(
         store.tables["absorption_coef"], store.sizes["absorption_coef"], handle, t, 0.0
     )
