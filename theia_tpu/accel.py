@@ -145,8 +145,12 @@ def nearest_in_soup(v0, e1, e2, origin, direction, t_max, chunk: int):
                 jnp.where(take_b, bi, ai),
             )
 
+        # selection is piecewise-constant in the inputs: stop_gradient
+        # keeps the variadic reduce off the AD path (it has no JVP rule
+        # for mixed zero tangents); the winner's differentiable t is
+        # recomputed from its triangle row in _reconstruct_hit
         tt, idx_c = lax.reduce(
-            (t, local),
+            (lax.stop_gradient(t), local),
             (jnp.float32(jnp.inf), jnp.int32(0x7FFFFFFF)),
             lexi_min,
             (1,),

@@ -359,20 +359,27 @@ def lookup_packed(
 
     values: f32[M, Lmax]; sizes: i32[M]; handle: i32[...]; t in [0,1].
     Lanes whose table is null (size 0) return ``null_value``.
-    """
+
+    The interpolation gathers ONE (value, slope) pair row per lane from a
+    table derived in-trace (loop-invariant — hoisted by XLA; grads and
+    runtime table patches flow through), instead of two scalar gathers at
+    lo/hi: these gathers dominated the segment cost after the intersection
+    fixes (29% of the batch, PERF.md round 3). ``v + l*dv`` differs from
+    the two-gather lerp by at most one ulp (slope pre-rounded once)."""
     n = jnp.take(sizes, handle)
     tt = jnp.clip(jnp.asarray(t, jnp.float32), 0.0, 1.0) * jnp.maximum(
         n - 1, 1
     ).astype(jnp.float32)
     lo = jnp.floor(tt).astype(jnp.int32)
-    hi = jnp.ceil(tt).astype(jnp.int32)
     l = tt - jnp.floor(tt)
     lmax = values.shape[-1]
-    flat = values.reshape(-1)
+    # pair rows [v_j, v_{j+1} - v_j]; the last column's slope is 0, which
+    # matches the legacy clip-to-last behavior (l = 0 exactly there)
+    dv = jnp.pad(jnp.diff(values, axis=-1), ((0, 0), (0, 1)))
+    pairs = jnp.stack([values, dv], axis=-1).reshape(-1, 2)
     base = handle * lmax
-    v_lo = jnp.take(flat, base + jnp.clip(lo, 0, lmax - 1))
-    v_hi = jnp.take(flat, base + jnp.clip(hi, 0, lmax - 1))
-    res = v_lo * (1.0 - l) + v_hi * l
+    row = jnp.take(pairs, base + jnp.clip(lo, 0, lmax - 1), axis=0)
+    res = row[..., 0] + l * row[..., 1]
     return jnp.where(n == 0, jnp.float32(null_value), res)
 
 
@@ -414,17 +421,18 @@ def packed_medium_constants(
         pad = max(e.shape[1] for e in eff)
         eff = [jnp.pad(e, ((0, 0), (0, pad - e.shape[1]))) for e in eff]
         stacked = jnp.stack(eff, axis=-1)  # (M, pad, 4), hoisted
+        # pair-pack (values, slopes) -> ONE 8-wide row gather per lane
+        # (see lookup_packed)
+        dv = jnp.pad(jnp.diff(stacked, axis=1), ((0, 0), (0, 1), (0, 0)))
         n4 = functools.reduce(jnp.maximum, sz)
         n = jnp.take(n4, handle)
         tt = t * jnp.maximum(n - 1, 1).astype(jnp.float32)
         lo = jnp.floor(tt).astype(jnp.int32)
-        hi = jnp.ceil(tt).astype(jnp.int32)
         l = (tt - jnp.floor(tt))[..., None]
-        rows = stacked.reshape(-1, 4)
+        rows = jnp.concatenate([stacked, dv], axis=-1).reshape(-1, 8)
         base = handle * pad
-        v_lo = jnp.take(rows, base + jnp.clip(lo, 0, pad - 1), axis=0)
-        v_hi = jnp.take(rows, base + jnp.clip(hi, 0, pad - 1), axis=0)
-        res = v_lo * (1.0 - l) + v_hi * l
+        row = jnp.take(rows, base + jnp.clip(lo, 0, pad - 1), axis=0)
+        res = row[..., :4] + l * row[..., 4:]
         res = jnp.where(
             (n == 0)[..., None], jnp.asarray(_CONST4_NULLS, jnp.float32), res
         )

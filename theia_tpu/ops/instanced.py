@@ -201,8 +201,10 @@ def _next_candidate(g: GroupPack, origin, inv_dir, last_tn, last_k, t_best):
             take_b = (bt < at) | ((bt == at) & (bi < ai))
             return jnp.where(take_b, bt, at), jnp.where(take_b, bi, ai)
 
+        # selection only — keep the variadic reduce off the AD path
+        # (no JVP rule for mixed zero tangents; see accel.nearest_in_soup)
         cand_tn, cand_k = lax.reduce(
-            (tn, ks),
+            (lax.stop_gradient(tn), ks),
             (jnp.float32(jnp.inf), jnp.int32(0x7FFFFFFF)),
             lexi_min,
             (1,),
