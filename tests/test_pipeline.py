@@ -139,7 +139,10 @@ def test_runtime_batch_size_no_retrace():
 
     ref = make(half)
     h_ref, _ = ref.run()
-    np.testing.assert_allclose(np.asarray(h_half), np.asarray(h_ref), rtol=1e-6)
+    # same hits, but the MXU one-hot accumulation reduces over capacity
+    # lanes (masked ones add exact zeros), so the f32 reduction tree
+    # differs from the dedicated half-size tracer's
+    np.testing.assert_allclose(np.asarray(h_half), np.asarray(h_ref), rtol=1e-4)
     # and the full batch is a strict superset: un-normalized sums grow
     assert np.asarray(h_full).sum() > 0
 

@@ -217,6 +217,12 @@ class HistogramHitResponse(HitResponse):
     def init(self):
         return jnp.zeros(self._size(), jnp.float32)
 
+    #: up to this many flat bins the histogram accumulates via a one-hot
+    #: matmul on the MXU instead of scatter-add — measured 3.5x faster at
+    #: 256k items x 100 bins on the bench chip (PERF.md round 3); above
+    #: it the (N, bins) one-hot work grows past the scatter's cost
+    MXU_BINS_MAX = 1024
+
     def record(self, params, state, item: HitItem, mask, rng: RNGState):
         value, rng = self.value_response.value(params.get("value", {}), item, rng)
         # time gradient is meaningless through floor(); bin on the detached time
@@ -226,7 +232,13 @@ class HistogramHitResponse(HitResponse):
         oob = (bin_f < 0) | (bin_f >= self.nBins) | ~mask
         bins = self._flat_bins(item, bins, oob)  # drop slot on oob
         value = jnp.where(bins >= self._size(), 0.0, value)
-        state = state.at[bins].add(value, mode="drop")
+        if self._size() <= self.MXU_BINS_MAX:
+            # segment-sum as a one-hot contraction: rides the MXU and
+            # out-of-range bins one-hot to all-zero rows (the drop slot)
+            one_hot = jax.nn.one_hot(bins, self._size(), dtype=value.dtype)
+            state = state + value @ one_hot
+        else:
+            state = state.at[bins].add(value, mode="drop")
         return state, rng
 
     def result(self, params, state):
