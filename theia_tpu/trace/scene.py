@@ -442,10 +442,20 @@ class SceneForwardTracer(TracerBase):
 
     # -- the traced program ---------------------------------------------
 
-    def _segment_body(self, p, pack, prop, mis, streams):
+    def _segment_body(self, p, pack, prop, mis, streams, static_last=False):
         """Build the per-segment loop body (shared by the monolithic
         batch loop and ScenePhotonTracer's compacted per-run launches).
-        ``i`` is the traced global segment index."""
+        ``i`` is the traced global segment index.
+
+        ``static_last=True`` builds the peeled final-segment body: on
+        segment ``maxPathLength - 1`` every lane has ``miss == False``, so
+        the MIS shadow block and the volume-scatter block are fully masked
+        dead work (their responses add exact zeros and their RNG dims are
+        merged back). Peeling the iteration out of the ``fori_loop`` with a
+        static flag lets XLA drop both blocks — one full MIS shadow query
+        (the most expensive part of a segment) per batch — with bit-identical
+        results (reference semantics: the loop's last iteration never
+        scatters, tracer.scene.forward.glsl loop bound)."""
         def body(i, carry):
             ray, medium, alive, allow_response, pol, rng, resp_state, cb_state = (
                 carry
@@ -674,8 +684,12 @@ class SceneForwardTracer(TracerBase):
 
             # ---- processInteraction: volume scatter (miss) ----
             miss = pre_alive & in_bounds & ~hit.valid & ~last
+            if static_last:
+                # all-False by construction; the guarded blocks below are
+                # skipped entirely (see docstring)
+                miss = jnp.zeros_like(pre_alive)
 
-            if mis:
+            if mis and not static_last:
                 rng_b = rng
                 (u1, u2), rng = rng.uniform2d()
                 dir_phase, p_pp, log_p_pp = self._sample_phase_packed(
@@ -746,31 +760,32 @@ class SceneForwardTracer(TracerBase):
                 rng = _merge_dim(rng, rng_b, miss)
 
             # scatter the real ray
-            rng_b = rng
-            (su1, su2), rng = rng.uniform2d()
-            scat_dir, _, scat_log_p = self._sample_phase_packed(
-                pack, medium, ray.direction, su1, su2
-            )
-            scat_corr = scat_log_p - sg(scat_log_p)
-            if pol is not None:
-                s_stokes, s_ref = _pol_scatter_packed(
-                    pack.media, medium, ray.direction, scat_dir, pol
+            if not static_last:
+                rng_b = rng
+                (su1, su2), rng = rng.uniform2d()
+                scat_dir, _, scat_log_p = self._sample_phase_packed(
+                    pack, medium, ray.direction, su1, su2
                 )
-                pol = (
-                    jnp.where(miss[..., None], s_stokes, pol[0]),
-                    jnp.where(miss[..., None], s_ref, pol[1]),
+                scat_corr = scat_log_p - sg(scat_log_p)
+                if pol is not None:
+                    s_stokes, s_ref = _pol_scatter_packed(
+                        pack.media, medium, ray.direction, scat_dir, pol
+                    )
+                    pol = (
+                        jnp.where(miss[..., None], s_stokes, pol[0]),
+                        jnp.where(miss[..., None], s_ref, pol[1]),
+                    )
+                ray = replace(
+                    ray,
+                    direction=jnp.where(miss[..., None], scat_dir, ray.direction),
+                    lin_contrib=jnp.where(
+                        miss, ray.lin_contrib * ray.constants.mu_s, ray.lin_contrib
+                    ),
+                    log_contrib=jnp.where(
+                        miss, ray.log_contrib + scat_corr, ray.log_contrib
+                    ),
                 )
-            ray = replace(
-                ray,
-                direction=jnp.where(miss[..., None], scat_dir, ray.direction),
-                lin_contrib=jnp.where(
-                    miss, ray.lin_contrib * ray.constants.mu_s, ray.lin_contrib
-                ),
-                log_contrib=jnp.where(
-                    miss, ray.log_contrib + scat_corr, ray.log_contrib
-                ),
-            )
-            rng = _merge_dim(rng, rng_b, miss)
+                rng = _merge_dim(rng, rng_b, miss)
 
             # ---- result codes + events ----
             code = jnp.where(
@@ -852,8 +867,15 @@ class SceneForwardTracer(TracerBase):
         body = self._segment_body(p, pack, prop, mis, streams)
 
         carry = (ray, medium, alive, allow_response, pol, rng, resp_state, cb_state)
+        # peel the final segment: its MIS shadow + scatter blocks are fully
+        # masked dead work inside the fori_loop (see _segment_body docstring)
+        if self.maxPathLength > 1:
+            carry = lax.fori_loop(0, self.maxPathLength - 1, body, carry)
+        body_last = self._segment_body(
+            p, pack, prop, mis, streams, static_last=True
+        )
         ray, medium, alive, allow_response, pol, rng, resp_state, cb_state = (
-            lax.fori_loop(0, self.maxPathLength, body, carry)
+            body_last(jnp.int32(self.maxPathLength - 1), carry)
         )
         cb_state = self.callback.on_event(
             p["callback"],
