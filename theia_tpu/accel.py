@@ -31,10 +31,12 @@ from .trace.core import EventResultCode
 
 __all__ = [
     "SurfaceHit",
+    "anyhit_culled",
     "anyhit_in_soup",
     "intersect_scene",
     "intersect_target",
     "is_visible",
+    "nearest_culled",
     "offset_ray",
 ]
 
@@ -262,6 +264,225 @@ def anyhit_in_soup(
     return occ
 
 
+#: lane-compaction capacity for culled brute queries, as a fraction of the
+#: wavefront; lanes beyond it fall back to the full-width scan at runtime
+#: (lax.cond), so any value is correct — smaller is faster on the segments
+#: where few rays reach an instance, but falls back earlier
+CULL_CAP_FRAC = float(os.environ.get("THEIA_CULL_CAP", "0.125"))
+
+#: which brute queries use the culled path: "all", "shadow" (MIS shadow +
+#: visibility only), "primary", or "off" (diagnostic knob; results are
+#: bit-identical in every mode). Default "shadow": measured on the bench
+#: chip, culling pays on the shadow queries (+4.4% end-to-end at
+#: cap=1/8) but costs ~6% on the primary nearest — the cond boundary +
+#: compaction overhead exceeds what the primary scan saves because its
+#: early segments (every ray starts inside the source module) always
+#: fall back (PERF.md round 4)
+CULL_MODE = os.environ.get("THEIA_CULL_MODE", "shadow")
+
+#: capacity fraction for the shadow query's detector-nearest pass. Guide
+#: shadow rays aim at a detector by construction, so ~the guide half of
+#: the fused 2N-lane pair always needs its detector's group; a capacity
+#: covering it (0.625) was measured SLOWER than letting the query fall
+#: back to the masked full-width scan (compacting 63% of the lanes pays
+#: full gather/expand cost for a 37% pair reduction — PERF.md round 4),
+#: so the default keeps the shared fallback-happy capacity
+CULL_CAP_DET = float(os.environ.get("THEIA_CULL_CAP_DET", "0.125"))
+
+
+def _seg_hits_sphere(origin, direction, t_max, center, radius):
+    """Conservative: True unless the ray segment [0, t_max] (unit-ish
+    ``direction``) provably misses the sphere. The slack term covers the
+    f32 rounding of the closest-approach chain (error <= ~1e-6 |oc|^2,
+    margin 1e-5 |oc|^2)."""
+    oc = origin - center
+    b = jnp.sum(oc * direction, axis=-1)
+    tc = jnp.clip(-b, 0.0, t_max)
+    p = oc + tc[..., None] * direction
+    s = jnp.sum(p * p, axis=-1)
+    oc2 = jnp.sum(oc * oc, axis=-1)
+    return s <= radius * radius * 1.003 + oc2 * 1e-5 + 1e-9
+
+
+def _frontpack_sel(need, pos, capacity: int):
+    """Fixed-capacity stable lane compaction: ``sel[j]`` = lane index of
+    the j-th needed lane (arbitrary past the count). ``pos`` is the
+    running cumsum-1 of ``need`` (see callers — computed outside so the
+    fallback branch never pays the scatter)."""
+    n = need.shape[0]
+    slot = jnp.where(need & (pos < capacity), pos, capacity)
+    return jnp.zeros((capacity,), jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+
+
+def _cull_capacity(n_lanes: int) -> int:
+    cap = int(n_lanes * CULL_CAP_FRAC)
+    return max(128, min(n_lanes, cap))
+
+
+def _group_soups(pack: ScenePack, groups):
+    """Static (v0, e1, e2, start) slices for the given cull groups."""
+    out = []
+    for k in groups:
+        start, end = pack.cull.spans[k]
+        out.append((
+            lax.slice_in_dim(pack.w_v0, start, end),
+            lax.slice_in_dim(pack.w_e1, start, end),
+            lax.slice_in_dim(pack.w_e2, start, end),
+            start,
+        ))
+    return out
+
+
+def nearest_culled(
+    pack: ScenePack, origin, direction, t_max, chunk: int, *,
+    groups=None, active=None, full_fallback=None, cap_frac=None,
+):
+    """Nearest hit over the brute soup with per-instance bounding-sphere
+    culling + lane compaction (the TPU-shaped equivalent of the
+    reference's hardware per-instance TLAS culling,
+    scene.intersect.glsl:23-46).
+
+    Only lanes whose segment can reach an instance's bounding sphere run
+    its triangle tests; they are packed to a fixed-capacity front
+    (``_frontpack_sel``) and the per-instance results merge
+    lexicographically — *bit-identical* to the single full scan (same
+    per-pair f32 math on the same triangles; the global (min t, lowest
+    index) reduction is partition-invariant). ONE ``lax.cond`` guards the
+    whole query: when any instance's needed-lane count exceeds the
+    capacity (e.g. early segments where every ray starts inside the
+    source module), the fallback runs ``full_fallback`` — by default the
+    plain single-soup scan, i.e. exactly the un-culled code path — so
+    throughput adapts per segment while results never change, and the
+    per-query cost never exceeds one cond boundary."""
+    cull = pack.cull
+    n = origin.shape[0]
+    cap = _cull_capacity(n) if cap_frac is None else max(
+        128, min(n, int(n * cap_frac))
+    )
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    which = list(range(len(cull.spans))) if groups is None else list(groups)
+    soups = _group_soups(pack, which)
+
+    needs, poss = [], []
+    ok_all = True
+    for k in which:
+        need = _seg_hits_sphere(
+            origin, direction, t_max_b, cull.centers[k], cull.radii[k]
+        )
+        if active is not None:
+            need = need & active
+        pos = jnp.cumsum(need.astype(jnp.int32)) - 1
+        needs.append(need)
+        poss.append(pos)
+        ok_all = ok_all & (pos[-1] + 1 <= cap)
+
+    def compacted(_):
+        best_t = t_max_b
+        best_i = jnp.full((n,), -1, jnp.int32)
+        for (v0, e1, e2, start), need, pos in zip(soups, needs, poss):
+            sel = _frontpack_sel(need, pos, cap)
+            og = jnp.take(origin, sel, axis=0)
+            dg = jnp.take(direction, sel, axis=0)
+            tg = jnp.take(t_max_b, sel, axis=0)
+            t_c, i_c = nearest_in_soup(v0, e1, e2, og, dg, tg, chunk)
+            p = jnp.clip(pos, 0, cap - 1)
+            t_k = jnp.where(need, jnp.take(t_c, p), jnp.inf)
+            i_k = jnp.where(need, jnp.take(i_c, p), -1)
+            i_k = jnp.where(i_k >= 0, i_k + start, -1)
+            take = (t_k < best_t) | (
+                (t_k == best_t) & (i_k >= 0) & ((best_i < 0) | (i_k < best_i))
+            )
+            best_t = jnp.where(take, t_k, best_t)
+            best_i = jnp.where(take, i_k, best_i)
+        return jnp.where(best_i < 0, jnp.inf, best_t), best_i
+
+    def full(_):
+        if full_fallback is not None:
+            return full_fallback()
+        t_f, i_f = _masked_group_scan(
+            soups, needs, origin, direction, t_max_b, chunk
+        )
+        return t_f, i_f
+
+    return lax.cond(ok_all, compacted, full, None)
+
+
+def _masked_group_scan(soups, needs, origin, direction, t_max_b, chunk):
+    """Un-compacted per-group nearest (the culled query's fallback when no
+    ``full_fallback`` is given): full-width scans, results masked by the
+    (conservative) need tests so both cond branches agree bit-for-bit."""
+    n = origin.shape[0]
+    best_t = t_max_b
+    best_i = jnp.full((n,), -1, jnp.int32)
+    for (v0, e1, e2, start), need in zip(soups, needs):
+        t_f, i_f = nearest_in_soup(
+            v0, e1, e2, origin, direction, t_max_b, chunk
+        )
+        t_k = jnp.where(need, t_f, jnp.inf)
+        i_k = jnp.where(need & (i_f >= 0), i_f + start, -1)
+        take = (t_k < best_t) | (
+            (t_k == best_t) & (i_k >= 0) & ((best_i < 0) | (i_k < best_i))
+        )
+        best_t = jnp.where(take, t_k, best_t)
+        best_i = jnp.where(take, i_k, best_i)
+    return jnp.where(best_i < 0, jnp.inf, best_t), best_i
+
+
+def anyhit_culled(
+    pack: ScenePack, origin, direction, t_max, chunk: int, *,
+    groups=None, active=None, full_fallback=None,
+):
+    """Occlusion over the brute soup with the same per-instance culling +
+    compaction as :func:`nearest_culled` (boolean OR merge; one cond for
+    the whole query). ``active`` masks lanes whose result is never
+    consumed downstream (their output is False)."""
+    cull = pack.cull
+    n = origin.shape[0]
+    cap = _cull_capacity(n)
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    which = list(range(len(cull.spans))) if groups is None else list(groups)
+    soups = _group_soups(pack, which)
+
+    needs, poss = [], []
+    ok_all = True
+    for k in which:
+        need = _seg_hits_sphere(
+            origin, direction, t_max_b, cull.centers[k], cull.radii[k]
+        )
+        if active is not None:
+            need = need & active
+        pos = jnp.cumsum(need.astype(jnp.int32)) - 1
+        needs.append(need)
+        poss.append(pos)
+        ok_all = ok_all & (pos[-1] + 1 <= cap)
+
+    def compacted(_):
+        occ = jnp.zeros((n,), bool)
+        for (v0, e1, e2, _s), need, pos in zip(soups, needs, poss):
+            sel = _frontpack_sel(need, pos, cap)
+            og = jnp.take(origin, sel, axis=0)
+            dg = jnp.take(direction, sel, axis=0)
+            tg = jnp.take(t_max_b, sel, axis=0)
+            occ_c = anyhit_in_soup(v0, e1, e2, og, dg, tg, chunk)
+            occ = occ | (jnp.take(occ_c, jnp.clip(pos, 0, cap - 1)) & need)
+        return occ
+
+    def full(_):
+        if full_fallback is not None:
+            return full_fallback()
+        occ = jnp.zeros((n,), bool)
+        for (v0, e1, e2, _s), need in zip(soups, needs):
+            occ = occ | (
+                anyhit_in_soup(v0, e1, e2, origin, direction, t_max_b, chunk)
+                & need
+            )
+        return occ
+
+    return lax.cond(ok_all, compacted, full, None)
+
+
 def _nearest(pack: ScenePack, origin, direction, t_max, chunk: int):
     """Nearest-hit query via the scene's chosen acceleration backend.
 
@@ -287,6 +508,15 @@ def _nearest(pack: ScenePack, origin, direction, t_max, chunk: int):
         from .ops.bvh_traverse import nearest_triangle_bvh
 
         return nearest_triangle_bvh(pack.bvh, origin, direction, t_max)
+    if pack.cull is not None and CULL_MODE in ("all", "primary"):
+        # fallback = exactly the un-culled scan (bit-identical partition
+        # merge, see nearest_culled docstring)
+        return nearest_culled(
+            pack, origin, direction, t_max, chunk,
+            full_fallback=lambda: _nearest_triangle(
+                pack, origin, direction, t_max, chunk
+            ),
+        )
     return _nearest_triangle(pack, origin, direction, t_max, chunk)
 
 
@@ -425,6 +655,7 @@ def intersect_target(
     t_max,
     *,
     chunk: int = DEFAULT_CHUNK,
+    active: jax.Array | None = None,
 ) -> SurfaceHit:
     """Shadow-ray query: nearest hit *on a detector instance*, invalid if
     any other geometry blocks the ray first.
@@ -457,6 +688,33 @@ def intersect_target(
     og = lax.stop_gradient(origin)
     dg = lax.stop_gradient(direction)
     tg = lax.stop_gradient(jnp.asarray(t_max, jnp.float32))
+    cull = pack.cull if CULL_MODE in ("all", "shadow") else None
+    if cull is not None:
+        # per-instance culled + compacted split: nearest over the detector
+        # groups, any-hit over the occluder groups bounded by the winner.
+        # ``active`` masks lanes whose hit is never consumed (non-miss
+        # lanes of the MIS block) out of both queries.
+        det_groups = [k for k, d in enumerate(cull.is_det) if d]
+        occ_groups = [k for k, d in enumerate(cull.is_det) if not d]
+        tg_b = jnp.broadcast_to(tg, (og.shape[0],))
+        t_t, tri_d = nearest_culled(
+            pack, og, dg, tg_b, chunk, groups=det_groups, active=active,
+            cap_frac=CULL_CAP_DET,
+        )
+        bound = jnp.minimum(t_t, tg_b)
+        occ = anyhit_culled(
+            pack, og, dg, bound, chunk, groups=occ_groups, active=active,
+            # fallback = the round-3 full occluder-subsoup any-hit
+            full_fallback=lambda: anyhit_in_soup(
+                split.nd_v0, split.nd_e1, split.nd_e2, og, dg, bound, chunk
+            ),
+        )
+        valid = (tri_d >= 0) & ~occ
+        tri = jnp.where(valid, tri_d, -1)
+        t_sel = jnp.where(valid, t_t, jnp.inf)
+        return _reconstruct_hit(
+            pack, medium_handle, origin, direction, t_sel, tri
+        )
     t_t, i_loc = nearest_in_soup(
         split.det_v0, split.det_e1, split.det_e2, og, dg, tg, chunk
     )
@@ -502,6 +760,8 @@ def is_visible(
 
         return ~occluded_bvh(pack.bvh, observer, direction, dist)
     if pack.mt is None and pack.woop is None:
+        if pack.cull is not None:
+            return ~anyhit_culled(pack, observer, direction, dist, chunk)
         return ~anyhit_in_soup(
             pack.w_v0, pack.w_e1, pack.w_e2, observer, direction, dist, chunk
         )

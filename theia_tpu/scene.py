@@ -34,6 +34,7 @@ __all__ = [
     "Scene",
     "ScenePack",
     "ShadowSplit",
+    "CullTables",
     "AUTO_BVH_THRESHOLD",
     "AUTO_INSTANCED_THRESHOLD",
 ]
@@ -275,6 +276,31 @@ class ShadowSplit:
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class CullTables:
+    """Per-instance conservative world bounding spheres + static soup
+    spans, enabling *culled* brute queries (accel.nearest_culled /
+    anyhit_culled): lanes whose ray segment provably misses an
+    instance's bounding sphere skip its triangle tests via fixed-capacity
+    lane compaction — the TPU-shaped stand-in for the per-ray BLAS
+    culling the reference gets from hardware TLAS traversal
+    (reference: scene.intersect.glsl:23-46 rayQuery over instances).
+
+    ``spans`` are static (start, end) rows into the pack's brute soup
+    (one contiguous span per instance — brute packs are never
+    Morton-permuted), so the group triangles are free XLA slices of
+    ``w_v0``/``w_e1``/``w_e2`` and stay consistent under
+    ``translate_instance``. ``radii`` are conservative: max vertex
+    distance from the instance's AABB center, inflated for f32 slack
+    (the query test adds its own |origin-center|^2-scaled margin)."""
+
+    centers: jax.Array  # (I, 3) f32
+    radii: jax.Array  # (I,) f32, conservative
+    spans: tuple = field(metadata=dict(static=True), default=())
+    is_det: tuple = field(metadata=dict(static=True), default=())
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class ScenePack:
     """Flat device arrays describing the scene (the BLAS/TLAS analogue).
 
@@ -313,6 +339,8 @@ class ScenePack:
     instanced: "object | None" = None
     # optional detector subsoup for MIS shadow rays (accel.intersect_target)
     shadow_split: "ShadowSplit | None" = None
+    # optional per-instance culling tables for brute queries (CullTables)
+    cull: "CullTables | None" = None
 
     def translate_instance(self, instance_id: int, delta) -> "ScenePack":
         """Return a pack with instance ``instance_id`` rigidly shifted by
@@ -357,12 +385,19 @@ class ScenePack:
                 det_v0=split.det_v0 + dmask * delta,
                 nd_v0=split.nd_v0 + nmask * delta,
             )
+        cull = self.cull
+        if cull is not None:
+            # rigid translation: the bounding sphere moves, radius unchanged
+            cull = _dc_replace(
+                cull, centers=cull.centers.at[instance_id].add(delta)
+            )
         return _dc_replace(
             self,
             w_v0=w_v0,
             tri_data=tri_data,
             inst_data=inst_data,
             shadow_split=split,
+            cull=cull,
         )
 
 
@@ -383,6 +418,7 @@ class Scene:
         bbox: RectBBox | None = None,
         accel: str = "auto",
         leaf_size: int = 8,
+        cull: bool = True,
     ) -> None:
         if not isinstance(materials, MaterialStore):
             materials = MaterialStore.pack(list(materials.values()))
@@ -418,6 +454,7 @@ class Scene:
         self.medium = medium
         self.accel = accel
         self.leaf_size = leaf_size
+        self.cullEnabled = cull
         self.bbox = bbox if bbox is not None else RectBBox(
             (-1.0 * u.km,) * 3, (1.0 * u.km,) * 3
         )
@@ -559,6 +596,31 @@ class Scene:
                 nd_inst=jnp.asarray(all_inst[nidx].astype(np.float32)),
             )
 
+        # per-instance culling tables for brute queries (CullTables): the
+        # brute soup keeps instances contiguous, so each group is a static
+        # span; bounding spheres are conservative over the world vertices
+        cull = None
+        if self.accel == "brute" and self.cullEnabled and n_inst >= 2:
+            counts = [len(a) for a in tri_inst]
+            starts = np.concatenate([[0], np.cumsum(counts)])
+            centers, radii = [], []
+            for k in range(n_inst):
+                verts = np.concatenate(
+                    [w_v0[k], w_v0[k] + w_e1[k], w_v0[k] + w_e2[k]], axis=0
+                )
+                c = 0.5 * (verts.min(axis=0) + verts.max(axis=0))
+                r = float(np.linalg.norm(verts - c, axis=1).max())
+                centers.append(c)
+                radii.append(r * 1.001 + 1e-5)
+            cull = CullTables(
+                centers=jnp.asarray(np.stack(centers), jnp.float32),
+                radii=jnp.asarray(np.asarray(radii), jnp.float32),
+                spans=tuple(
+                    (int(starts[k]), int(starts[k + 1])) for k in range(n_inst)
+                ),
+                is_det=tuple(bool(b) for b in inst_is_det),
+            )
+
         return ScenePack(
             w_v0=jnp.asarray(catn(w_v0)),
             w_e1=jnp.asarray(catn(w_e1)),
@@ -574,4 +636,5 @@ class Scene:
             mt=mt_pack,
             instanced=instanced_pack,
             shadow_split=shadow_split,
+            cull=cull,
         )

@@ -726,6 +726,10 @@ class SceneForwardTracer(TracerBase):
                     jnp.concatenate([ray.position, ray.position]),
                     jnp.concatenate([dir_phase, guide_sample.direction]),
                     jnp.concatenate([phase_eval.dist, guide_sample.dist]),
+                    # only miss lanes consume shadow hits; culled backends
+                    # drop the rest (RNG-neutral: every downstream mask
+                    # already includes ``miss``)
+                    active=jnp.concatenate([miss, miss]),
                 )
                 s_hits = (
                     jax.tree.map(lambda a: a[:n_lane], hit2),
