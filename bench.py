@@ -25,6 +25,13 @@ import os
 import sys
 import time
 
+# persistent XLA compilation cache: repeated bench runs (and the driver's
+# end-of-round run) skip the multi-minute batch compile
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 import numpy as np
 
 BASELINE = 1.0e8

@@ -483,6 +483,15 @@ class SceneForwardTracer(TracerBase):
             hit = intersect_scene(pack, medium, ray.position, ray.direction, dist)
             travel = jnp.where(hit.valid, hit.t, dist)
 
+            # the free-extension shadow response and the main surface
+            # response are per-lane mutually exclusive and share the same
+            # hit rows, so for RNG-free unpolarized responses they fuse
+            # into ONE Fresnel + item + record at the main response site
+            # (the extension lanes substitute their propagated-to-hit ray
+            # state; Fresnel itself reads only direction/constants/hit —
+            # identical between the two states)
+            fuse_ext = mis and self.response.nRNGSamples == 0 and pol is None
+            ext_ray = ext_ok = None
             if mis:
                 # hit beyond the sampled distance == free shadow ray
                 ext_mask = (
@@ -492,9 +501,13 @@ class SceneForwardTracer(TracerBase):
                     & (travel > sampled_dist)
                     & (hit.error == 0)
                 )
-                resp_state, rng = self._shadow_response(
-                    p, resp_state, ray, hit, ext_mask, rng, prop, pol=pol
-                )
+                if fuse_ext:
+                    ext_ray, ext_code = self._propagate_to_hit(ray, hit, prop)
+                    ext_ok = ext_mask & (ext_code >= 0)
+                else:
+                    resp_state, rng = self._shadow_response(
+                        p, resp_state, ray, hit, ext_mask, rng, prop, pol=pol
+                    )
                 hit = replace(hit, valid=hit.valid & ~ext_mask)
                 travel = jnp.where(ext_mask, sampled_dist, travel)
 
@@ -546,14 +559,41 @@ class SceneForwardTracer(TracerBase):
                     jnp.where(surf[..., None], a_stokes, pol[0]),
                     jnp.where(surf[..., None], a_ref, pol[1]),
                 )
+            if fuse_ext:
+                # extension lanes respond with their propagated-to-hit
+                # state; everyone else with the main (post-propagation)
+                # state. The two masks are disjoint (ext lanes were
+                # invalidated out of ``surf``).
+                resp_ray = jax.tree.map(
+                    lambda a, b: jnp.where(
+                        ext_ok.reshape(
+                            ext_ok.shape + (1,) * (a.ndim - ext_ok.ndim)
+                        ),
+                        a,
+                        b,
+                    ),
+                    ext_ray,
+                    ray,
+                )
+                ext_respond = (
+                    ext_ok
+                    & is_target
+                    & ((target_id < 0) | (hit.custom_id == target_id))
+                )
+            else:
+                resp_ray = ray
+                ext_respond = None
             item, pos_ok = self._create_response_item(
-                p, ray, hit, r_s, r_p, n_i, n_t, is_abs, pol=pol
+                p, resp_ray, hit, r_s, r_p, n_i, n_t, is_abs, pol=pol
             )
+            rec_mask = respond & pos_ok
+            if fuse_ext:
+                rec_mask = rec_mask | (ext_respond & pos_ok)
             rng_b = rng
             resp_state, rng_a = self.response.record(
-                p["response"], resp_state, item, respond & pos_ok, rng
+                p["response"], resp_state, item, rec_mask, rng
             )
-            rng = _merge_dim(rng_a, rng_b, respond & pos_ok)
+            rng = _merge_dim(rng_a, rng_b, rec_mask)
 
             # surface interaction outcome
             r_coef = 0.5 * (r_s * r_s + r_p * r_p)
@@ -718,7 +758,11 @@ class SceneForwardTracer(TracerBase):
                 # rays only respond on detector instances, so the query is
                 # the target-nearest + any-hit-occlusion split
                 # (accel.intersect_target, measured 1.39x over the fused
-                # full nearest — PERF.md round 3)
+                # full nearest — PERF.md round 3; culled + compacted on
+                # brute packs, PERF.md round 4. Splitting the pair into
+                # two N-lane queries so the phase half's detector groups
+                # compact was tried and rejected: it doubles the segment's
+                # query HLO and pushed the batch compile past 9 minutes).
                 n_lane = streams.shape[0]
                 hit2 = intersect_target(
                     pack,
