@@ -377,11 +377,10 @@ class SceneForwardTracer(TracerBase):
         # arrival time / transmittance (see the segment-loop comment)
         return reattach_geometry(new, dist), code
 
-    def _shadow_response(
-        self, p, resp_state, ray: RayState, hit: SurfaceHit, mask, rng, prop,
-        pol=None,
-    ):
-        """processShadowRay: response if the shadow ray reached the target
+    def _shadow_item(self, p, ray: RayState, hit: SurfaceHit, mask, prop,
+                     pol=None):
+        """processShadowRay's item half: the detector HitItem + validity
+        for a (possibly batched) shadow wavefront
         (reference: scene.traverse.glsl:160-183)."""
         pack: ScenePack = p["scene"]
         target_id = p["tracer"]["targetId"]
@@ -395,7 +394,15 @@ class SceneForwardTracer(TracerBase):
         item, pos_mask = self._create_response_item(
             p, moved, hit, r_s, r_p, n_i, n_t, absorb, pol=pol
         )
-        ok &= pos_mask
+        return item, ok & pos_mask
+
+    def _shadow_response(
+        self, p, resp_state, ray: RayState, hit: SurfaceHit, mask, rng, prop,
+        pol=None,
+    ):
+        """processShadowRay: response if the shadow ray reached the target
+        (reference: scene.traverse.glsl:160-183)."""
+        item, ok = self._shadow_item(p, ray, hit, mask, prop, pol=pol)
         rng_after = rng
         resp_state, rng_after = self.response.record(
             p["response"], resp_state, item, ok, rng_after
@@ -779,32 +786,73 @@ class SceneForwardTracer(TracerBase):
                     jax.tree.map(lambda a: a[:n_lane], hit2),
                     jax.tree.map(lambda a: a[n_lane:], hit2),
                 )
-                for s_hit, (s_dir, w, corr) in zip(
-                    s_hits,
-                    (
-                        (dir_phase, w_phase, log_p_pp),
-                        (guide_sample.direction, w_target, log_p_pt),
-                    ),
-                ):
-                    shadow = replace(
-                        ray,
-                        direction=s_dir,
-                        lin_contrib=ray.lin_contrib
-                        * ray.constants.mu_s
-                        * sg(w),
-                        log_contrib=ray.log_contrib + corr - sg(corr),
+                if self.response.nRNGSamples == 0 and pol is None:
+                    # RNG-free unpolarized responses: process the whole
+                    # 2N shadow pair through ONE propagate/Fresnel/item/
+                    # record chain instead of two sequential N-lane ones
+                    # (the sequential order only exists to preserve the
+                    # response's RNG draw order)
+                    tile = lambda a: jnp.concatenate([a, a])
+                    shadow2 = RayState(
+                        position=jnp.concatenate(
+                            [ray.position, ray.position]
+                        ),
+                        direction=jnp.concatenate(
+                            [dir_phase, guide_sample.direction]
+                        ),
+                        wavelength=tile(ray.wavelength),
+                        time=tile(ray.time),
+                        lin_contrib=jnp.concatenate(
+                            [
+                                ray.lin_contrib
+                                * ray.constants.mu_s
+                                * sg(w_phase),
+                                ray.lin_contrib
+                                * ray.constants.mu_s
+                                * sg(w_target),
+                            ]
+                        ),
+                        log_contrib=jnp.concatenate(
+                            [
+                                ray.log_contrib + log_p_pp - sg(log_p_pp),
+                                ray.log_contrib + log_p_pt - sg(log_p_pt),
+                            ]
+                        ),
+                        constants=jax.tree.map(tile, ray.constants),
                     )
-                    shadow_pol = (
-                        _pol_scatter_packed(
-                            pack.media, medium, ray.direction, s_dir, pol
+                    item2, ok2 = self._shadow_item(
+                        p, shadow2, hit2, jnp.concatenate([miss, miss]), prop
+                    )
+                    resp_state, _ = self.response.record(
+                        p["response"], resp_state, item2, ok2, rng
+                    )
+                else:
+                    for s_hit, (s_dir, w, corr) in zip(
+                        s_hits,
+                        (
+                            (dir_phase, w_phase, log_p_pp),
+                            (guide_sample.direction, w_target, log_p_pt),
+                        ),
+                    ):
+                        shadow = replace(
+                            ray,
+                            direction=s_dir,
+                            lin_contrib=ray.lin_contrib
+                            * ray.constants.mu_s
+                            * sg(w),
+                            log_contrib=ray.log_contrib + corr - sg(corr),
                         )
-                        if pol is not None
-                        else None
-                    )
-                    resp_state, rng = self._shadow_response(
-                        p, resp_state, shadow, s_hit, miss, rng, prop,
-                        pol=shadow_pol,
-                    )
+                        shadow_pol = (
+                            _pol_scatter_packed(
+                                pack.media, medium, ray.direction, s_dir, pol
+                            )
+                            if pol is not None
+                            else None
+                        )
+                        resp_state, rng = self._shadow_response(
+                            p, resp_state, shadow, s_hit, miss, rng, prop,
+                            pol=shadow_pol,
+                        )
                 rng = _merge_dim(rng, rng_b, miss)
 
             # scatter the real ray
