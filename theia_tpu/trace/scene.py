@@ -570,17 +570,21 @@ class SceneForwardTracer(TracerBase):
                 # extension lanes respond with their propagated-to-hit
                 # state; everyone else with the main (post-propagation)
                 # state. The two masks are disjoint (ext lanes were
-                # invalidated out of ``surf``).
-                resp_ray = jax.tree.map(
-                    lambda a, b: jnp.where(
-                        ext_ok.reshape(
-                            ext_ok.shape + (1,) * (a.ndim - ext_ok.ndim)
-                        ),
-                        a,
-                        b,
-                    ),
-                    ext_ray,
+                # invalidated out of ``surf``). Only position/time/
+                # contribs differ between the states (direction, medium
+                # constants and wavelength are untouched by propagation).
+                resp_ray = replace(
                     ray,
+                    position=jnp.where(
+                        ext_ok[..., None], ext_ray.position, ray.position
+                    ),
+                    time=jnp.where(ext_ok, ext_ray.time, ray.time),
+                    lin_contrib=jnp.where(
+                        ext_ok, ext_ray.lin_contrib, ray.lin_contrib
+                    ),
+                    log_contrib=jnp.where(
+                        ext_ok, ext_ray.log_contrib, ray.log_contrib
+                    ),
                 )
                 ext_respond = (
                     ext_ok
