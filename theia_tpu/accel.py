@@ -270,9 +270,10 @@ def anyhit_in_soup(
 #: where few rays reach an instance, but falls back earlier
 CULL_CAP_FRAC = float(os.environ.get("THEIA_CULL_CAP", "0.125"))
 
-#: which brute queries use the culled path: "all", "shadow" (MIS shadow +
-#: visibility only), "primary", or "off" (diagnostic knob; results are
-#: bit-identical in every mode). Default "shadow": measured on the bench
+#: which brute queries use the culled path: "all" (+ primary nearest and
+#: is_visible), "shadow" (MIS shadow split only), "primary", or "off"
+#: (diagnostic knob; results are bit-identical in every mode). Default
+#: "shadow": measured on the bench
 #: chip, culling pays on the shadow queries (+4.4% end-to-end at
 #: cap=1/8) but costs ~6% on the primary nearest — the cond boundary +
 #: compaction overhead exceeds what the primary scan saves because its
@@ -771,7 +772,11 @@ def is_visible(
 
         return ~occluded_bvh(pack.bvh, observer, direction, dist)
     if pack.mt is None and pack.woop is None:
-        if pack.cull is not None:
+        # culled visibility is opt-in (CULL_MODE=all): backward/direct
+        # tracers connect to a light that typically sits INSIDE a source
+        # module, so that instance's cull can never fire and the pretest
+        # is pure overhead (measured 0.92x on the backward bench scene)
+        if pack.cull is not None and CULL_MODE == "all":
             return ~anyhit_culled(pack, observer, direction, dist, chunk)
         return ~anyhit_in_soup(
             pack.w_v0, pack.w_e1, pack.w_e2, observer, direction, dist, chunk
