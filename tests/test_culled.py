@@ -113,7 +113,10 @@ def test_cull_tables_built(packs):
 @pytest.mark.parametrize("cap_frac", [1.0, 0.25, 0.004])
 def test_nearest_culled_bit_identical(packs, cap_frac, monkeypatch):
     """cap 1.0 = no compaction; 0.25 = compacted branch; 0.004 = the
-    count-overflow fallback branch. All bit-identical to the full scan."""
+    count-overflow fallback branch. All bit-identical to the full scan.
+    (CULL_MODE forced to "all" — the default "shadow" leaves the primary
+    nearest un-culled.)"""
+    monkeypatch.setattr(accel, "CULL_MODE", "all")
     monkeypatch.setattr(accel, "CULL_CAP_FRAC", cap_frac)
     pc, pf = packs
     o, d, t = random_rays(4096)
@@ -138,7 +141,8 @@ def test_intersect_target_culled(packs, cap_frac, monkeypatch):
     _hits_equal(s_c, s_f, mask=np.asarray(active))
 
 
-def test_is_visible_culled(packs):
+def test_is_visible_culled(packs, monkeypatch):
+    monkeypatch.setattr(accel, "CULL_MODE", "all")
     pc, pf = packs
     o, d, t = random_rays(4096, seed=2)
     tgt = o + d * (t * 0.5)[:, None]
@@ -147,7 +151,8 @@ def test_is_visible_culled(packs):
     assert np.array_equal(np.asarray(v_c), np.asarray(v_f))
 
 
-def test_translate_instance_updates_cull(packs):
+def test_translate_instance_updates_cull(packs, monkeypatch):
+    monkeypatch.setattr(accel, "CULL_MODE", "all")
     pc, _ = packs
     moved = pc.translate_instance(1, jnp.asarray([0.5, -0.25, 1.0]))
     # sphere follows the instance; radius unchanged
