@@ -708,10 +708,24 @@ def intersect_target(
         det_groups = [k for k, d in enumerate(cull.is_det) if d]
         occ_groups = [k for k, d in enumerate(cull.is_det) if not d]
         tg_b = jnp.broadcast_to(tg, (og.shape[0],))
-        t_t, tri_d = nearest_culled(
-            pack, og, dg, tg_b, chunk, groups=det_groups, active=active,
-            cap_frac=CULL_CAP_DET,
-        )
+        if len(det_groups) >= 4 and CULL_CAP_DET > 0:
+            # detector arrays: each guide ray aims at ONE module, so the
+            # per-module needed fractions are ~1/G and compaction pays
+            t_t, tri_d = nearest_culled(
+                pack, og, dg, tg_b, chunk, groups=det_groups, active=active,
+                cap_frac=CULL_CAP_DET,
+            )
+        else:
+            # few detectors: ~the guide half always needs them, the query
+            # never compacts (PERF.md round 4) — keep the plain subsoup
+            # nearest and skip the pretest/cumsum/cond overhead
+            t_d, i_loc = nearest_in_soup(
+                split.det_v0, split.det_e1, split.det_e2, og, dg, tg, chunk
+            )
+            t_t = jnp.where(i_loc >= 0, t_d, jnp.inf)
+            tri_d = jnp.where(
+                i_loc >= 0, jnp.take(split.det_idx, jnp.maximum(i_loc, 0)), -1
+            )
         bound = jnp.minimum(t_t, tg_b)
         occ = anyhit_culled(
             pack, og, dg, bound, chunk, groups=occ_groups, active=active,
