@@ -141,6 +141,65 @@ def test_intersect_target_culled(packs, cap_frac, monkeypatch):
     _hits_equal(s_c, s_f, mask=np.asarray(active))
 
 
+def array_scene(cull=True):
+    """Detector array: 5 detector modules + 2 occluders — enough
+    detector groups (>= 4) to engage intersect_target's culled
+    det-array branch (nearest_culled over per-module groups)."""
+    mats = MaterialStore.pack(
+        [
+            Material("wall", None, None, flags="TR"),
+            Material("det", None, None, flags="DB"),
+        ]
+    )
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+    det_pos = [
+        (0.0, 3.0, 0.0),
+        (3.0, 3.0, 0.0),
+        (-3.0, 3.0, 0.0),
+        (0.0, 3.0, 3.0),
+        (0.0, -3.0, 0.0),
+    ]
+    insts = [
+        meshes.createInstance(
+            "sphere", "wall", Transform.TRS(scale=0.8, translate=(3.0, 0, 0))
+        ),
+        meshes.createInstance(
+            "sphere", "wall", Transform.TRS(scale=0.5, translate=(0, 0, 2.0))
+        ),
+    ] + [
+        meshes.createInstance(
+            "sphere", "det", Transform.TRS(scale=0.6, translate=p),
+            detectorId=i + 1,
+        )
+        for i, p in enumerate(det_pos)
+    ]
+    return Scene(insts, mats, medium=None, accel="brute", cull=cull)
+
+
+@pytest.mark.parametrize("cap_det", [0.25, 0.002])
+def test_intersect_target_detector_array(cap_det, monkeypatch):
+    """The >= 4-detector culled branch (per-module nearest_culled det
+    groups + active masking) is bit-identical to the un-culled pack on
+    active lanes — in the compacted branch (cap 0.25) and the
+    count-overflow fallback (cap 0.002)."""
+    monkeypatch.setattr(accel, "CULL_CAP_DET", cap_det)
+    pc = array_scene(cull=True).pack
+    pf = array_scene(cull=False).pack
+    det_groups = [k for k, d in enumerate(pc.cull.is_det) if d]
+    assert len(det_groups) == 5  # branch precondition
+    n = 4096
+    o, d, t = random_rays(n, seed=7)
+    med = jnp.zeros((n,), jnp.int32)
+    active = jax.random.uniform(jax.random.PRNGKey(11), (n,)) < 0.7
+    h_c = jax.jit(
+        lambda o, d, t: intersect_target(pc, med, o, d, t, active=active)
+    )(o, d, t)
+    h_f = jax.jit(lambda o, d, t: intersect_target(pf, med, o, d, t))(o, d, t)
+    _hits_equal(h_c, h_f, mask=np.asarray(active))
+    # inactive lanes are uniformly invalid (never garbage-but-plausible)
+    assert not np.asarray(h_c.valid)[~np.asarray(active)].any()
+
+
 def test_is_visible_culled(packs, monkeypatch):
     monkeypatch.setattr(accel, "CULL_MODE", "all")
     pc, pf = packs

@@ -300,13 +300,16 @@ CULL_CAP_OCC = float(os.environ.get("THEIA_CULL_CAP_OCC", "0.03125"))
 
 
 def _seg_hits_sphere(origin, direction, t_max, center, radius):
-    """Conservative: True unless the ray segment [0, t_max] (unit-ish
-    ``direction``) provably misses the sphere. The slack term covers the
-    f32 rounding of the closest-approach chain (error <= ~1e-6 |oc|^2,
-    margin 1e-5 |oc|^2)."""
+    """Conservative: True unless the ray segment [0, t_max] provably
+    misses the sphere. ``direction`` need not be unit length (the true
+    closest-approach parameter is -<oc,d>/|d|^2 — matching
+    nearest_in_soup's unnormalized-direction contract). The slack term
+    covers the f32 rounding of the closest-approach chain (error <=
+    ~1e-6 |oc|^2, margin 1e-5 |oc|^2)."""
     oc = origin - center
     b = jnp.sum(oc * direction, axis=-1)
-    tc = jnp.clip(-b, 0.0, t_max)
+    d2 = jnp.sum(direction * direction, axis=-1)
+    tc = jnp.clip(-b / jnp.maximum(d2, 1e-30), 0.0, t_max)
     p = oc + tc[..., None] * direction
     s = jnp.sum(p * p, axis=-1)
     oc2 = jnp.sum(oc * oc, axis=-1)
@@ -684,7 +687,13 @@ def intersect_target(
     an accelerated occlusion query (bvh/instanced/mt/woop) recomputes t
     with different fusions and can land an ulp below the bound on the
     winner itself, falsely occluding it (observed on bvh). Accelerated
-    packs fall back to :func:`intersect_scene`."""
+    packs fall back to :func:`intersect_scene`.
+
+    ``active``: optional bool[N] — lanes whose result is never consumed
+    downstream (e.g. non-miss lanes of the MIS block). Inactive lanes
+    are masked out of the culled queries *and* report ``valid=False``
+    uniformly, so their (otherwise skipped/garbage) hits can never leak
+    into a caller that forgets to re-mask."""
     split = pack.shadow_split
     accelerated = (
         pack.mt is not None
@@ -736,6 +745,10 @@ def intersect_target(
             ),
         )
         valid = (tri_d >= 0) & ~occ
+        if active is not None:
+            # inactive lanes skipped the occlusion query (occ forced
+            # False) — force them invalid so both cond branches agree
+            valid = valid & active
         tri = jnp.where(valid, tri_d, -1)
         t_sel = jnp.where(valid, t_t, jnp.inf)
         return _reconstruct_hit(
