@@ -290,6 +290,28 @@ CULL_MODE = os.environ.get("THEIA_CULL_MODE", "shadow")
 #: so the default keeps the shared fallback-happy capacity
 CULL_CAP_DET = float(os.environ.get("THEIA_CULL_CAP_DET", "0.125"))
 
+#: minimum number of detector cull groups before intersect_target uses the
+#: per-module culled det-nearest instead of the plain subsoup nearest.
+#: Default 4 (PERF.md round 4: compaction cannot win at the bench's
+#: single-detector f~=0.5); diagnostic knob — setting 1 reproduces the
+#: round-4 pre-0238b4d masked-group path for A/B measurement
+CULL_DET_MIN_GROUPS = int(os.environ.get("THEIA_CULL_DET_MIN_GROUPS", "4"))
+
+#: audit hook: when set to a list, every culled query appends its cond
+#: predicate (True = compacted branch ran, False = count-overflow
+#: fallback) via a host callback. Diagnostic only (bench.py BENCH_AUDIT
+#: uses it to discharge the "no fallback fired" assumption behind the
+#: static pairs-tested accounting); None in production — zero cost.
+CULL_AUDIT: list | None = None
+
+
+def _audit_cond(ok_all) -> None:
+    if CULL_AUDIT is not None:
+        jax.debug.callback(
+            lambda ok: CULL_AUDIT.append(bool(ok)), ok_all
+        )
+
+
 #: capacity fraction for the shadow query's occluder any-hit pass. With
 #: the live-lane (miss) mask the measured needed fraction is <= 1.7% on
 #: every segment of the bench (shadow rays originate at water scatter
@@ -418,6 +440,7 @@ def nearest_culled(
         )
         return t_f, i_f
 
+    _audit_cond(ok_all)
     return lax.cond(ok_all, compacted, full, None)
 
 
@@ -494,6 +517,7 @@ def anyhit_culled(
             )
         return occ
 
+    _audit_cond(ok_all)
     return lax.cond(ok_all, compacted, full, None)
 
 
@@ -717,7 +741,7 @@ def intersect_target(
         det_groups = [k for k, d in enumerate(cull.is_det) if d]
         occ_groups = [k for k, d in enumerate(cull.is_det) if not d]
         tg_b = jnp.broadcast_to(tg, (og.shape[0],))
-        if len(det_groups) >= 4 and CULL_CAP_DET > 0:
+        if len(det_groups) >= CULL_DET_MIN_GROUPS and CULL_CAP_DET > 0:
             # detector arrays: each guide ray aims at ONE module, so the
             # per-module needed fractions are ~1/G and compaction pays
             t_t, tri_d = nearest_culled(

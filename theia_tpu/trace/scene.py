@@ -62,6 +62,16 @@ if TYPE_CHECKING:  # avoid circular import
 
 __all__ = ["SceneForwardTracer"]
 
+import os
+
+#: diagnostic knob for A/B perf measurement (PERF.md round 5): "0"
+#: disables the round-4 response-chain fusions (free-extension shadow
+#: response fused into the main record + the 2N batched MIS shadow
+#: chain). The estimator terms are identical either way; fusing merges
+#: record calls, so histogram bins can differ in f32 accumulation order
+#: (measured <= 3e-8 relative)
+_FUSE_RESPONSES = os.environ.get("THEIA_FUSE_RESPONSES", "1") != "0"
+
 _BLACK = int(MaterialFlags.BLACK_BODY)
 _DETECTOR = int(MaterialFlags.DETECTOR)
 _NO_R_FWD = int(MaterialFlags.NO_REFLECT_FWD)
@@ -497,7 +507,12 @@ class SceneForwardTracer(TracerBase):
             # (the extension lanes substitute their propagated-to-hit ray
             # state; Fresnel itself reads only direction/constants/hit —
             # identical between the two states)
-            fuse_ext = mis and self.response.nRNGSamples == 0 and pol is None
+            fuse_ext = (
+                mis
+                and _FUSE_RESPONSES
+                and self.response.nRNGSamples == 0
+                and pol is None
+            )
             ext_ray = ext_ok = None
             if mis:
                 # hit beyond the sampled distance == free shadow ray
@@ -790,7 +805,7 @@ class SceneForwardTracer(TracerBase):
                     jax.tree.map(lambda a: a[:n_lane], hit2),
                     jax.tree.map(lambda a: a[n_lane:], hit2),
                 )
-                if self.response.nRNGSamples == 0 and pol is None:
+                if _FUSE_RESPONSES and self.response.nRNGSamples == 0 and pol is None:
                     # RNG-free unpolarized responses: process the whole
                     # 2N shadow pair through ONE propagate/Fresnel/item/
                     # record chain instead of two sequential N-lane ones
