@@ -106,6 +106,7 @@ class _CompactionLadderMixin:
         min_lanes: int = 1024,
         advance: bool = True,
         replan: bool | None = None,
+        streams=None,
     ):
         """Trace one batch run-by-run, compacting survivors between runs.
 
@@ -126,7 +127,13 @@ class _CompactionLadderMixin:
 
         Wins when absorption kills lanes quickly (measured 2.2-4.7x at
         5-40% per-run survival, PERF.md "photon compaction"). Returns
-        the response result (like :meth:`run`)."""
+        the response result (like :meth:`run`).
+
+        ``streams``: optional replacement for the default lane-id array —
+        pass one placed with a multi-device ``NamedSharding`` to execute
+        every ladder launch (and its compaction gathers) as an SPMD
+        program over the mesh; jit propagates the sharding through the
+        per-lane state and XLA inserts the collectives."""
         from ..response import HistogramHitResponse
 
         if not isinstance(self.response, HistogramHitResponse):
@@ -139,7 +146,9 @@ class _CompactionLadderMixin:
 
         p = self.params()
         counter = self.rng.counter_words
-        state = self._jit_ladder_init(p, counter, self.streams())
+        if streams is None:
+            streams = self.streams()
+        state = self._jit_ladder_init(p, counter, streams)
         resp_state = self.response.init()
 
         plan = self.__dict__.get("_compact_plan")
