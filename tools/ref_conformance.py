@@ -324,12 +324,68 @@ def c5_suzanne_polarized_grad(batch: int):
     return tracer, {"grads": grads, "sharded": True}
 
 
+def c6_detector_array(batch: int):
+    """BASELINE config 6 (round 5): the domain's flagship workload — a
+    3x3x3 SceneTemplate-stamped array of BK7 detector modules in water
+    (reference analogue: src/theia/scene.py:713-935 SceneTemplate for
+    telescope module arrays), central light source, target-guide MIS
+    toward the center module, every module responding (targetId=-1,
+    detector ids 0..26 in stamping order)."""
+    from theia_tpu.render import SceneTemplate
+
+    water = _Water().createMedium(num_lambda=64, num_theta=64)
+    glass = BK7Model().createMedium(num_lambda=64, num_theta=4)
+    mats = MaterialStore.pack(
+        [Material("det_water", glass, water, flags="DB")]
+    )
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+    proto = meshes.createInstance(
+        "sphere", "det_water", Transform.TRS(scale=0.4), detectorId=0
+    )
+    template = SceneTemplate([proto])
+    spacing, n_side = 2.0, 3
+    transforms = [
+        Transform.TRS(translate=(i * spacing, j * spacing, k * spacing))
+        for i in range(n_side)
+        for j in range(n_side)
+        for k in range(n_side)
+    ]
+    scene = template.createScene(
+        transforms, mats, medium="water", accel="brute"
+    )
+    c = (n_side - 1) / 2.0 * spacing
+    guide_pos = (spacing, spacing, spacing)  # center module (index 13)
+    tracer = SceneForwardTracer(
+        batch,
+        SphericalLightSource(
+            position=(c + 0.5 * spacing, c, c),
+            timeRange=(0.0, 10.0),
+            budget=1e5,
+        ),
+        UniformWavelengthSource(lambdaRange=(300.0, 700.0)),
+        HistogramHitResponse(nBins=100, t0=0.0, binSize=5.0 * u.ns),
+        PhiloxRNG(key=42),
+        scene,
+        maxPathLength=4,
+        scatterCoefficient=0.05,
+        targetId=-1,
+        targetGuide=SphereTargetGuide(position=guide_pos, radius=0.4),
+        refCompatRNG=True,
+    )
+
+    def grads(tracer):
+        return _medium_grads(tracer, "water", ("absorption_coef",))
+
+    return tracer, {"grads": grads}
+
+
 CONFIGS = {
     "c1_volume_homogeneous": c1_volume_homogeneous,
     "c2_volume_hg": c2_volume_hg,
     "c3_scene_fresnel": c3_scene_fresnel,
     "c4_multisource_polarized": c4_multisource_polarized,
     "c5_suzanne_polarized_grad": c5_suzanne_polarized_grad,
+    "c6_detector_array": c6_detector_array,
 }
 
 # small enough that --check runs in the test suite; regenerate with
@@ -340,6 +396,7 @@ DEFAULT_BATCH = {
     "c3_scene_fresnel": 4 * 1024,
     "c4_multisource_polarized": 2 * 1024,
     "c5_suzanne_polarized_grad": 2 * 1024,
+    "c6_detector_array": 2 * 1024,
 }
 
 

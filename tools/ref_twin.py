@@ -267,12 +267,70 @@ def c5_suzanne_polarized_grad(batch: int):
     ]
 
 
+def c6_detector_array(batch: int):
+    """3x3x3 array of BK7 detector spheres in water, central source,
+    guide MIS toward the center module. The TPU side stamps this from an
+    in-memory SceneTemplate assigning detector ids 0..26 in (i, j, k)
+    stamping order; the reference's SceneTemplate is file-based
+    (src/theia/scene.py:713-935), so the twin builds the identical scene
+    with an explicit instance loop and the same ids."""
+    water = _Water().createMedium(400.0, 800.0, num_lambda=64, num_theta=64)
+    glass = BK7Model().createMedium(400.0, 800.0, num_lambda=64, num_theta=4)
+    store = MaterialStore([Material("det_water", glass, water, flags="DB")])
+    meshes = MeshStore({"sphere": str(ASSETS / "sphere.stl")})
+    spacing, n_side = 2.0, 3
+    instances = []
+    det = 0
+    for i in range(n_side):
+        for j in range(n_side):
+            for k in range(n_side):
+                instances.append(
+                    meshes.createInstance(
+                        "sphere",
+                        "det_water",
+                        Transform.TRS(
+                            scale=0.4,
+                            translate=(
+                                i * spacing, j * spacing, k * spacing
+                            ),
+                        ),
+                        detectorId=det,
+                    )
+                )
+                det += 1
+    scene = Scene(
+        instances, materials=store.material, medium=store.media["water"]
+    )
+    c = (n_side - 1) / 2.0 * spacing
+    return [
+        SceneForwardTracer(
+            batch,
+            SphericalLightSource(
+                position=(c + 0.5 * spacing, c, c),
+                timeRange=(0.0, 10.0),
+                budget=1e5,
+            ),
+            UniformWavelengthSource(lambdaRange=(300.0, 700.0)),
+            HistogramHitResponse(UniformValueResponse(), nBins=100, binSize=5.0),
+            PhiloxRNG(key=42),
+            scene,
+            maxPathLength=4,
+            scatterCoefficient=0.05,
+            targetId=-1,
+            targetGuide=SphereTargetGuide(
+                position=(spacing, spacing, spacing), radius=0.4
+            ),
+        )
+    ]
+
+
 CONFIGS = {
     "c1_volume_homogeneous": c1_volume_homogeneous,
     "c2_volume_hg": c2_volume_hg,
     "c3_scene_fresnel": c3_scene_fresnel,
     "c4_multisource_polarized": c4_multisource_polarized,
     "c5_suzanne_polarized_grad": c5_suzanne_polarized_grad,
+    "c6_detector_array": c6_detector_array,
 }
 
 
