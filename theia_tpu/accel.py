@@ -749,15 +749,24 @@ def intersect_target(
                 cap_frac=CULL_CAP_DET,
             )
         else:
-            # few detectors: ~the guide half always needs them, the query
-            # never compacts (PERF.md round 4) — keep the plain subsoup
-            # nearest and skip the pretest/cumsum/cond overhead
-            t_d, i_loc = nearest_in_soup(
-                split.det_v0, split.det_e1, split.det_e2, og, dg, tg, chunk
-            )
-            t_t = jnp.where(i_loc >= 0, t_d, jnp.inf)
-            tri_d = jnp.where(
-                i_loc >= 0, jnp.take(split.det_idx, jnp.maximum(i_loc, 0)), -1
+            # few detectors: ~the guide half always needs them, so
+            # compaction cannot win (PERF.md round 4) — but the masked
+            # per-group scan still beats the plain subsoup nearest by
+            # ~6% end-to-end (round-5 A/B, tools/bench_ab_r5.py): group
+            # spans are contiguous, so the winner's global row is
+            # ``local + start`` — pure arithmetic — where the subsoup
+            # path pays a 2N-lane ``det_idx`` gather. Run the winning
+            # program directly, without the compaction pretest/cond.
+            needs = []
+            for k in det_groups:
+                need = _seg_hits_sphere(
+                    og, dg, tg_b, cull.centers[k], cull.radii[k]
+                )
+                if active is not None:
+                    need = need & active
+                needs.append(need)
+            t_t, tri_d = _masked_group_scan(
+                _group_soups(pack, det_groups), needs, og, dg, tg_b, chunk
             )
         bound = jnp.minimum(t_t, tg_b)
         occ = anyhit_culled(
