@@ -483,13 +483,20 @@ class SobolQRNG(RNG):
 
     @property
     def counter_words(self) -> jax.Array:
-        """Batch offset, encoded like a Philox counter (only word 0 used)."""
-        return jnp.array([self.offset & 0xFFFFFFFF, 0, 0, 0], jnp.uint32)
+        """Batch offset + scramble seed, encoded like a Philox counter
+        (word 0 = offset, word 1 = seed, words 2-3 unused). Carrying the
+        seed in the runtime counter keeps the traced program seed-free:
+        independent Owen randomizations (fresh seeds) re-use one compiled
+        executable — the replicate structure QMC error estimation needs."""
+        return jnp.array(
+            [self.offset & 0xFFFFFFFF, self.seed & 0xFFFFFFFF, 0, 0],
+            jnp.uint32,
+        )
 
     def state_for(self, counter: jax.Array, streams: jax.Array) -> SobolState:
         return SobolState(
             dirs=sobol_direction_numbers(self.dims),
-            seed=jnp.uint32(self.seed & 0xFFFFFFFF),
+            seed=_u32(counter[1]),
             offset=_u32(counter[0]),
             stream=streams,
             dim=jnp.zeros_like(streams),

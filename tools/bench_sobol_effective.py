@@ -47,11 +47,19 @@ import numpy as np
 def run_replicates(rng_mode, batch, max_path, reps, accel):
     """Per-replicate curves + steady-state per-batch seconds.
 
-    Replicates are independent: Philox keys far apart (golden-ratio
-    stride — nearby keys relabel streams, see tests/conftest gotcha),
-    Sobol seeds give distinct Owen scrambles."""
+    Replicate structure (the key/seed are baked into the traced program,
+    so replication must ride the runtime ``counter`` argument):
+
+    * philox — successive non-overlapping counter blocks (the tracer's
+      own ``advance()`` stride; the default schedule advances by the
+      true worst-case draws per path, so blocks never overlap). Standard
+      counter-based-RNG replication: same key, disjoint counters = iid.
+    * sobol — fresh Owen-scramble seeds (counter word 1; see
+      SobolQRNG.counter_words): independent randomizations of the same
+      point set — the replicate structure QMC error estimation requires
+      (successive index blocks of ONE scramble are anti-correlated by
+      construction and would bias the variance)."""
     import __graft_entry__ as g
-    from theia_tpu.random import PhiloxRNG, SobolQRNG
 
     tracer = g._build_scene_tracer(
         batch, max_path=max_path, accel=accel, rng=rng_mode
@@ -63,18 +71,20 @@ def run_replicates(rng_mode, batch, max_path, reps, accel):
     curves, times = [], []
     for r in range(reps):
         if rng_mode == "sobol":
-            rng = SobolQRNG(seed=r, dims=64)
+            tracer.rng.seed = 0x9E3779B9 * (r + 1) & 0xFFFFFFFF
         else:
-            rng = PhiloxRNG(key=(0xABC0 + r * 2654435761) & 0xFFFFFFFFFFFFFFFF)
-        rng.configure(tracer.nRNGSamples, tracer.capacity)
-        tracer.rng = rng
-        counter = rng.counter_words
+            tracer.rng.advance()
+        counter = tracer.rng.counter_words
         t0 = time.perf_counter()
         out = step(p, counter, streams)
         hist = np.asarray(out[0])
         times.append(time.perf_counter() - t0)
-        curves.append(hist)
-    return np.stack(curves), times
+        curves.append(hist.astype(np.float64))
+    curves = np.stack(curves)
+    assert not all(
+        np.array_equal(curves[0], c) for c in curves[1:]
+    ), "replicates identical — replication wiring broken"
+    return curves, times
 
 
 def main():
@@ -115,6 +125,13 @@ def main():
     var_ratio_peak = (
         out["philox"]["var_sum_peak_bins"] / out["sobol"]["var_sum_peak_bins"]
     )
+    # 95% CI on the variance ratio (F distribution, reps-1 dof each side;
+    # treats the summed-bin variances as one variance scale — the bins
+    # are correlated within a curve, so this is indicative, not exact)
+    from scipy.stats import f as f_dist
+
+    q = f_dist.ppf(0.975, args.reps - 1, args.reps - 1)
+    var_ratio_ci = [var_ratio / q, var_ratio * q]
     t_ratio = (
         out["philox"]["seconds_median"] / out["sobol"]["seconds_median"]
     )
@@ -128,6 +145,7 @@ def main():
                 "sobol": out["sobol"],
                 "mean_rel_diff": rel,
                 "var_ratio": var_ratio,
+                "var_ratio_ci95": var_ratio_ci,
                 "var_ratio_peak_bins": var_ratio_peak,
                 "time_ratio_philox_over_sobol": t_ratio,
                 "equal_error_speedup": var_ratio * t_ratio,
