@@ -22,6 +22,7 @@ CASES = [
     ("08_detector_array.py", "per-module light curves recorded"),
     ("09_source_reconstruction.py", "flash position recovered"),
     ("10_geometry_calibration.py", "module position calibrated"),
+    ("11_quasirandom_sampling.py", "sobol variance win confirmed"),
 ]
 
 
