@@ -262,3 +262,34 @@ def test_any_hit_occlusion_matches_nearest():
         vis = np.asarray(is_visible(scene.pack, obs, tgt))
         # identical up to rays exactly grazing shared edges
         assert (vis == vis_ref).mean() > 0.999, accel
+
+
+@pytest.mark.parametrize("cap_frac", [0.0, 0.5, 0.004])
+def test_midwalk_compaction_bit_identical(cap_frac, monkeypatch):
+    """The mid-walk live-lane compaction (PERF.md round 5) is
+    bit-identical to the plain while_loop walk in every branch:
+    0.0 = compaction disabled, 0.5 = the compacted continuation,
+    0.004 = the capacity-overflow fallback."""
+    import theia_tpu.ops.instanced as inst
+    from theia_tpu.ops.instanced import nearest_triangle_instanced
+
+    scene = array_scene(3, "instanced", mixed=True)
+    pack = scene.pack.instanced
+    ks = jax.random.split(jax.random.PRNGKey(31), 2)
+    n = 4096
+    o = jax.random.uniform(ks[0], (n, 3), jnp.float32, -4.0, 6.0)
+    d = jax.random.normal(ks[1], (n, 3), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    monkeypatch.setattr(inst, "COMPACT_MIN_BOXES", 1)  # force the gate open
+    monkeypatch.setattr(inst, "COMPACT_CAP_FRAC", 0.0)
+    t_ref, i_ref = jax.jit(
+        lambda o, d: nearest_triangle_instanced(pack, o, d, jnp.inf, 256)
+    )(o, d)
+
+    monkeypatch.setattr(inst, "COMPACT_CAP_FRAC", cap_frac)
+    t, i = jax.jit(
+        lambda o, d: nearest_triangle_instanced(pack, o, d, jnp.inf, 256)
+    )(o, d)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(t_ref))

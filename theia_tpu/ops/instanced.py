@@ -52,6 +52,23 @@ __all__ = [
 #: instance AABBs per fused scan chunk ((N, C) intermediates)
 BOX_CHUNK = 64
 
+import os
+
+#: lane capacity (fraction of the wavefront) for the mid-walk compaction:
+#: after the first full-width candidate iteration the live fraction drops
+#: to a few percent (measured 2-6% on detector arrays, PERF.md round 5),
+#: so the remaining walk runs on survivors front-packed to this capacity
+#: — one lax.cond falls back to the full-width loop when they don't fit.
+#: 0 disables compaction (diagnostic; results bit-identical either way)
+COMPACT_CAP_FRAC = float(os.environ.get("THEIA_INSTANCED_COMPACT", "0.125"))
+
+#: minimum instances in a group before the mid-walk compaction engages:
+#: walks are short on small arrays, so the pack/unpack overhead loses
+#: (measured end-to-end on the tracer: -10% at 27 modules, wash at 125,
+#: +14% at 512 — PERF.md round 5); re-tune on real silicon with
+#: tools/bench_detector_array.py + THEIA_INSTANCED_COMPACT={0,0.125}
+COMPACT_MIN_BOXES = int(os.environ.get("THEIA_INSTANCED_COMPACT_MIN", "256"))
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -259,30 +276,88 @@ def _group_query(
         _, k, _, _ = carry
         return jnp.any(k >= 0)
 
-    def body(carry):
-        tn, k, t_best, idx_best = carry
-        active = k >= 0
-        row = jnp.take(g.w2o, jnp.maximum(k, 0), axis=0)  # (N, 12)
-        lin = row.reshape(-1, 3, 4)[:, :, :3]
-        off = row.reshape(-1, 3, 4)[:, :, 3]
-        o_obj = jnp.einsum("nij,nj->ni", lin, origin) + off
-        d_obj = jnp.einsum("nij,nj->ni", lin, direction)  # NOT normalized
-        t_loc, j_loc = nearest_in_soup(
-            g.v0, g.e1, g.e2, o_obj, d_obj, t_best, chunk
-        )
-        better = active & (j_loc >= 0) & (t_loc < t_best)
-        tri_base = jnp.take(g.base, jnp.maximum(k, 0))
-        idx_best = jnp.where(better, tri_base + j_loc, idx_best)
-        t_best = jnp.where(better, t_loc, t_best)
-        tn, k = _next_candidate(
-            g, origin, inv_dir, tn, k, clamp(t_best, idx_best)
-        )
-        return tn, k, t_best, idx_best
+    def make_body(origin, direction, inv_dir):
+        """Candidate-iteration body over an (possibly compacted) ray set."""
 
-    _, _, t_best, idx_best = lax.while_loop(
-        cond, body, (tn0, k0, t_best, idx_best)
+        def body(carry):
+            tn, k, t_best, idx_best = carry
+            active = k >= 0
+            row = jnp.take(g.w2o, jnp.maximum(k, 0), axis=0)  # (N, 12)
+            lin = row.reshape(-1, 3, 4)[:, :, :3]
+            off = row.reshape(-1, 3, 4)[:, :, 3]
+            o_obj = jnp.einsum("nij,nj->ni", lin, origin) + off
+            d_obj = jnp.einsum("nij,nj->ni", lin, direction)  # NOT normalized
+            t_loc, j_loc = nearest_in_soup(
+                g.v0, g.e1, g.e2, o_obj, d_obj, t_best, chunk
+            )
+            better = active & (j_loc >= 0) & (t_loc < t_best)
+            tri_base = jnp.take(g.base, jnp.maximum(k, 0))
+            idx_best = jnp.where(better, tri_base + j_loc, idx_best)
+            t_best = jnp.where(better, t_loc, t_best)
+            tn, k = _next_candidate(
+                g, origin, inv_dir, tn, k, clamp(t_best, idx_best)
+            )
+            return tn, k, t_best, idx_best
+
+        return body
+
+    body = make_body(origin, direction, inv_dir)
+
+    if (
+        COMPACT_CAP_FRAC <= 0.0
+        or int(g.base.shape[0]) < COMPACT_MIN_BOXES
+    ):
+        _, _, t_best, idx_best = lax.while_loop(
+            cond, body, (tn0, k0, t_best, idx_best)
+        )
+        return t_best, idx_best
+
+    # Mid-walk live-lane compaction: run ONE candidate iteration at full
+    # width (live fraction is still ~25-40% there), then front-pack the
+    # surviving cursors to a fixed capacity and finish the walk at that
+    # width — every later iteration's prototype scan + box rescan costs
+    # capacity lanes instead of N (live fraction measured 2-6% from
+    # iteration 2 on detector arrays, PERF.md round 5). One lax.cond
+    # falls back to the full-width loop when survivors exceed capacity.
+    # Per-lane math is identical on gathered values and the merge is a
+    # pure scatter of the same results, so both branches are
+    # bit-identical to the uncompacted walk.
+    from ..accel import _frontpack_sel
+
+    # (guarded: a group where no lane has a candidate must stay free,
+    # as it was with the bare while_loop)
+    tn, k, t_best, idx_best = lax.cond(
+        jnp.any(k0 >= 0),
+        body,
+        lambda c: c,
+        (tn0, k0, t_best, idx_best),
     )
-    return t_best, idx_best
+    N = origin.shape[0]
+    cap = max(128, min(N, int(N * COMPACT_CAP_FRAC)))
+    live = k >= 0
+    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+    fits = pos[-1] + 1 <= cap
+
+    def compacted(_):
+        sel = _frontpack_sel(live, pos, cap)
+        take = lambda a: jnp.take(a, sel, axis=0)
+        body_c = make_body(take(origin), take(direction), take(inv_dir))
+        _, _, tb_c, ib_c = lax.while_loop(
+            cond,
+            body_c,
+            (take(tn), take(k), take(t_best), take(idx_best)),
+        )
+        p = jnp.clip(pos, 0, cap - 1)
+        return (
+            jnp.where(live, jnp.take(tb_c, p), t_best),
+            jnp.where(live, jnp.take(ib_c, p), idx_best),
+        )
+
+    def full(_):
+        _, _, tb, ib = lax.while_loop(cond, body, (tn, k, t_best, idx_best))
+        return tb, ib
+
+    return lax.cond(fits, compacted, full, None)
 
 
 def occluded_instanced(
