@@ -369,6 +369,28 @@ def main() -> None:
             "sandbox sessions; the ratios do not (PERF.md)."
         ),
     }
+    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        # the domain's flagship scaling workload in the same artifact: a
+        # 27-module SceneTemplate detector array under accel='auto'
+        # (instanced), full MIS tracer (tools/bench_detector_array.py has
+        # the sweep; PERF.md round 5 the analysis: 6.7x over brute at 27
+        # modules, 19x at 125, bit-identical histograms)
+        try:
+            sys.path.insert(
+                0,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "tools"
+                ),
+            )
+            from bench_detector_array import run_config as _array_cfg
+
+            r = _array_cfg(3, "auto", 128 * 1024, 6, 3)
+            detail["array27_bounces_per_s"] = r["bounces_per_s"]
+            detail["array27_backend"] = r["resolved_backend"]
+            detail["array27_seconds_spread"] = r["seconds_spread"]
+        except Exception as e:  # keep the headline metric robust
+            detail["array27_error"] = repr(e)[:200]
+
     if os.environ.get("BENCH_AUDIT") == "1":
         import subprocess
 
