@@ -60,14 +60,14 @@ import os
 #: so the remaining walk runs on survivors front-packed to this capacity
 #: — one lax.cond falls back to the full-width loop when they don't fit.
 #: 0 disables compaction (diagnostic; results bit-identical either way)
-COMPACT_CAP_FRAC = float(os.environ.get("THEIA_INSTANCED_COMPACT", "0.125"))
+COMPACT_CAP_FRAC = float(os.environ.get("THEIA_INSTANCED_COMPACT", "0.0625"))
 
 #: minimum instances in a group before the mid-walk compaction engages:
 #: walks are short on small arrays, so the pack/unpack overhead loses
-#: (measured end-to-end on the tracer: -10% at 27 modules, wash at 125,
-#: +14% at 512 — PERF.md round 5); re-tune on real silicon with
-#: tools/bench_detector_array.py + THEIA_INSTANCED_COMPACT={0,0.125}
-COMPACT_MIN_BOXES = int(os.environ.get("THEIA_INSTANCED_COMPACT_MIN", "256"))
+#: (measured end-to-end on the tracer at cap 1/16: -3% at 27 modules,
+#: +5% at 125, +15% at 512 — PERF.md round 5); re-tune on real silicon
+#: with tools/bench_detector_array.py + THEIA_INSTANCED_COMPACT={0,...}
+COMPACT_MIN_BOXES = int(os.environ.get("THEIA_INSTANCED_COMPACT_MIN", "100"))
 
 
 @jax.tree_util.register_dataclass
