@@ -264,12 +264,19 @@ def test_any_hit_occlusion_matches_nearest():
         assert (vis == vis_ref).mean() > 0.999, accel
 
 
-@pytest.mark.parametrize("cap_frac", [0.0, 0.5, 0.004])
-def test_midwalk_compaction_bit_identical(cap_frac, monkeypatch):
-    """The mid-walk live-lane compaction (PERF.md round 5) is
-    bit-identical to the plain while_loop walk in every branch:
-    0.0 = compaction disabled, 0.5 = the compacted continuation,
-    0.004 = the capacity-overflow fallback."""
+@pytest.mark.parametrize(
+    "ladder",
+    [
+        "",  # compaction disabled
+        "0.5:1,0.0625:-1",  # the default two-stage ladder
+        "0.004:-1",  # the capacity-overflow fallback on every stage
+        "0.5:1,0.25:2,0.0625:-1",  # a deeper ladder
+    ],
+)
+def test_midwalk_compaction_bit_identical(ladder, monkeypatch):
+    """The compaction ladder (PERF.md round 5) is bit-identical to the
+    plain while_loop walk in every branch: disabled, the staged
+    compacted continuation, and the capacity-overflow fallback."""
     import theia_tpu.ops.instanced as inst
     from theia_tpu.ops.instanced import nearest_triangle_instanced
 
@@ -282,12 +289,12 @@ def test_midwalk_compaction_bit_identical(cap_frac, monkeypatch):
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
     monkeypatch.setattr(inst, "COMPACT_MIN_BOXES", 1)  # force the gate open
-    monkeypatch.setattr(inst, "COMPACT_CAP_FRAC", 0.0)
+    monkeypatch.setattr(inst, "COMPACT_LADDER", ())
     t_ref, i_ref = jax.jit(
         lambda o, d: nearest_triangle_instanced(pack, o, d, jnp.inf, 256)
     )(o, d)
 
-    monkeypatch.setattr(inst, "COMPACT_CAP_FRAC", cap_frac)
+    monkeypatch.setattr(inst, "COMPACT_LADDER", inst._parse_ladder(ladder))
     t, i = jax.jit(
         lambda o, d: nearest_triangle_instanced(pack, o, d, jnp.inf, 256)
     )(o, d)

@@ -54,13 +54,34 @@ BOX_CHUNK = 64
 
 import os
 
-#: lane capacity (fraction of the wavefront) for the mid-walk compaction:
-#: after the first full-width candidate iteration the live fraction drops
-#: to a few percent (measured 2-6% on detector arrays, PERF.md round 5),
-#: so the remaining walk runs on survivors front-packed to this capacity
-#: — one lax.cond falls back to the full-width loop when they don't fit.
-#: 0 disables compaction (diagnostic; results bit-identical either way)
-COMPACT_CAP_FRAC = float(os.environ.get("THEIA_INSTANCED_COMPACT", "0.0625"))
+#: compaction ladder for the candidate walk: comma-separated
+#: ``cap_frac:iters`` stages. Lanes with a live candidate front-pack to
+#: ``cap_frac`` of the wavefront (one lax.cond per stage falls back to
+#: full width when they don't fit), run ``iters`` candidate iterations
+#: (-1 = to completion; the final stage must be -1), and scatter back.
+#: Rationale (PERF.md round 5): only 25-40% of lanes have ANY candidate,
+#: so even iteration 0 — previously run at full width — compacts 2x
+#: under a 0.5 cap; from iteration 2 the live fraction is 2-6% and a
+#: tight cap pays directly. Empty string disables compaction entirely
+#: (diagnostic; results bit-identical either way).
+COMPACT_LADDER_SPEC = os.environ.get(
+    "THEIA_INSTANCED_LADDER", "0.5:1,0.0625:-1"
+)
+
+
+def _parse_ladder(spec: str) -> tuple:
+    if not spec:
+        return ()
+    stages = []
+    for part in spec.split(","):
+        cap, iters = part.split(":")
+        stages.append((float(cap), int(iters)))
+    if stages and stages[-1][1] != -1:
+        stages.append((stages[-1][0], -1))
+    return tuple(stages)
+
+
+COMPACT_LADDER = _parse_ladder(COMPACT_LADDER_SPEC)
 
 #: minimum instances in a group before the mid-walk compaction engages:
 #: walks are short on small arrays, so the pack/unpack overhead loses
@@ -68,6 +89,20 @@ COMPACT_CAP_FRAC = float(os.environ.get("THEIA_INSTANCED_COMPACT", "0.0625"))
 #: +5% at 125, +15% at 512 — PERF.md round 5); re-tune on real silicon
 #: with tools/bench_detector_array.py + THEIA_INSTANCED_COMPACT={0,...}
 COMPACT_MIN_BOXES = int(os.environ.get("THEIA_INSTANCED_COMPACT_MIN", "100"))
+
+#: per-instance bounding-sphere pretest in the candidate scan: a ray can
+#: cross a module's AABB near a corner yet provably miss the module's
+#: bounding sphere — for sphere-like modules (the domain's detector
+#: arrays) ~half of box-crossing rays do (Cauchy projected areas:
+#: pi/6 of a cube-crossing bundle hits the inscribed-diameter sphere), and
+#: each false candidate otherwise costs a full prototype scan. The test
+#: adds ~31 flops/box to the ~25-flop slab test, so it is packed only for
+#: groups whose spheres are actually tighter than the boxes' circumspheres
+#: (mean radius < SPHERE_TIGHT x half-diagonal); results are bit-identical
+#: either way (the sphere is conservative over the instance's world
+#: vertices with the same slack as accel._seg_hits_sphere). 0 disables.
+SPHERE_PRETEST = os.environ.get("THEIA_INSTANCED_SPHERE", "1") != "0"
+SPHERE_TIGHT = 0.95
 
 
 @jax.tree_util.register_dataclass
@@ -91,6 +126,10 @@ class GroupPack:
     w2o: jax.Array  # f32 (K, 12) scale-normalized world-to-object rows
     box: tuple  # 6x f32 (n_chunks, BOX_CHUNK): lox, loy, loz, hix, hiy, hiz
     base: jax.Array  # i32 (K,) global triangle row base per instance
+    #: 4x f32 (n_chunks, BOX_CHUNK) world bounding spheres (cx, cy, cz,
+    #: r^2 incl. build slack), or None when the spheres are no tighter
+    #: than the boxes (SPHERE_PRETEST / SPHERE_TIGHT)
+    sph: tuple | None = None
 
 
 @jax.tree_util.register_dataclass
@@ -123,6 +162,8 @@ def pack_instanced(instances, w2o_rows) -> InstancedPack:
                 blo=[],
                 bhi=[],
                 base=[],
+                sc=[],
+                sr=[],
             )
         g = groups[gid]
         bb = inst.bbox
@@ -131,6 +172,17 @@ def pack_instanced(instances, w2o_rows) -> InstancedPack:
         g["bhi"].append(np.asarray(bb.upperCorner, np.float32))
         g["base"].append(base)
         base += len(inst.mesh.indices)
+        # conservative world bounding sphere over the instance's referenced
+        # vertices (same slack recipe as ScenePack's CullTables)
+        used = np.unique(np.asarray(mesh.indices).ravel())
+        wv = np.asarray(
+            inst.transform.apply(np.asarray(mesh.vertices[used, :3])),
+            np.float32,
+        )
+        c = 0.5 * (wv.min(axis=0) + wv.max(axis=0))
+        r = float(np.linalg.norm(wv - c, axis=1).max()) * 1.001 + 1e-5
+        g["sc"].append(c)
+        g["sr"].append(r)
 
     packed = []
     for g in groups.values():
@@ -139,6 +191,16 @@ def pack_instanced(instances, w2o_rows) -> InstancedPack:
         # of a unit object length under instance k
         det = np.abs(np.linalg.det(w2o[:, :, :3]))
         scale = float(np.median(np.where(det > 0, det, 1.0) ** (-1.0 / 3.0)))
+        blo, bhi = np.stack(g["blo"]), np.stack(g["bhi"])
+        sph = None
+        if SPHERE_PRETEST:
+            # pack spheres only when tighter than the boxes' circumspheres
+            half_diag = 0.5 * np.linalg.norm(bhi - blo, axis=1)
+            radii = np.asarray(g["sr"], np.float32)
+            if float(np.mean(radii)) < SPHERE_TIGHT * float(
+                np.mean(half_diag)
+            ):
+                sph = _pack_spheres(np.stack(g["sc"]), radii)
         packed.append(
             GroupPack(
                 v0=jnp.asarray(g["v0"] * scale),
@@ -147,8 +209,9 @@ def pack_instanced(instances, w2o_rows) -> InstancedPack:
                 w2o=jnp.asarray(
                     (w2o * scale).reshape(len(g["base"]), 12), jnp.float32
                 ),
-                box=_pack_boxes(np.stack(g["blo"]), np.stack(g["bhi"])),
+                box=_pack_boxes(blo, bhi),
                 base=jnp.asarray(np.asarray(g["base"], np.int32)),
+                sph=sph,
             )
         )
     return InstancedPack(groups=tuple(packed), n_boxes=len(instances))
@@ -169,19 +232,48 @@ def _pack_boxes(blo: "np.ndarray", bhi: "np.ndarray") -> tuple:
     )
 
 
-def _next_candidate(g: GroupPack, origin, inv_dir, last_tn, last_k, t_best):
+def _pack_spheres(centers: "np.ndarray", radii: "np.ndarray") -> tuple:
+    """(K, 3) centers + (K,) radii -> four (n_chunks, BOX_CHUNK) SoA
+    arrays (cx, cy, cz, r^2); padded slots never matter (the box slab
+    test already rejects them)."""
+    K = centers.shape[0]
+    n_chunks = -(-K // BOX_CHUNK)
+    pad = n_chunks * BOX_CHUNK - K
+    centers = np.pad(centers, ((0, pad), (0, 0)))
+    r2 = np.pad(radii.astype(np.float64) ** 2, (0, pad)).astype(np.float32)
+    return tuple(
+        jnp.asarray(a.reshape(n_chunks, BOX_CHUNK))
+        for a in (centers[:, 0], centers[:, 1], centers[:, 2], r2)
+    )
+
+
+def _next_candidate(
+    g: GroupPack, origin, direction, inv_dir, last_tn, last_k, t_best
+):
     """Per lane: the nearest instance box strictly after the ``(last_tn,
     last_k)`` cursor whose entry is closer than the current best hit.
-    Returns (tn, k); (inf, -1) when exhausted."""
+    Returns (tn, k); (inf, -1) when exhausted. When the group packs
+    bounding spheres, candidates whose sphere the segment provably misses
+    are rejected here (conservative — same math and slack as
+    accel._seg_hits_sphere, component-wise over the chunk)."""
     lox, loy, loz, hix, hiy, hiz = g.box  # pre-packed SoA, padded
     n_chunks = lox.shape[0]
 
     ox, oy, oz = (origin[:, i : i + 1] for i in range(3))
     ivx, ivy, ivz = (inv_dir[:, i : i + 1] for i in range(3))
+    if g.sph is not None:
+        dx, dy, dz = (direction[:, i : i + 1] for i in range(3))
+        d2 = dx * dx + dy * dy + dz * dz
+        neg_inv_d2 = -1.0 / jnp.maximum(d2, 1e-30)
 
     def body(carry, chunk):
         best_tn, best_k = carry
-        clox, cloy, cloz, chix, chiy, chiz, kbase = chunk  # (C,) each
+        if g.sph is not None:
+            clox, cloy, cloz, chix, chiy, chiz, kbase, scx, scy, scz, sr2 = (
+                chunk
+            )
+        else:
+            clox, cloy, cloz, chix, chiy, chiz, kbase = chunk  # (C,) each
         t1x = (clox[None] - ox) * ivx  # (N, C)
         t2x = (chix[None] - ox) * ivx
         t1y = (cloy[None] - oy) * ivy
@@ -207,6 +299,20 @@ def _next_candidate(g: GroupPack, origin, inv_dir, last_tn, last_k, t_best):
                 | ((tn == last_tn[:, None]) & (ks > last_k[:, None]))
             )
         )
+        if g.sph is not None:
+            # segment-vs-bounding-sphere rejection (conservative; NaNs
+            # from degenerate lanes compare False and only clear ok)
+            ocx = ox - scx[None]
+            ocy = oy - scy[None]
+            ocz = oz - scz[None]
+            b = ocx * dx + ocy * dy + ocz * dz
+            tc = jnp.clip(b * neg_inv_d2, 0.0, t_best[:, None])
+            px = ocx + tc * dx
+            py = ocy + tc * dy
+            pz = ocz + tc * dz
+            s = px * px + py * py + pz * pz
+            oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+            ok &= s <= sr2[None] * 1.003 + oc2 * 1e-5 + 1e-9
         tn = jnp.where(ok, tn, jnp.inf)
         # single lexicographic reduce: separate (min, masked index-min)
         # reductions made XLA rematerialize the slab math for the second
@@ -239,9 +345,10 @@ def _next_candidate(g: GroupPack, origin, inv_dir, last_tn, last_k, t_best):
         jnp.full((N,), jnp.int32(0x7FFFFFFF)),
     )
     kbases = jnp.arange(n_chunks, dtype=jnp.int32) * BOX_CHUNK
-    (tn, k), _ = lax.scan(
-        body, init, (lox, loy, loz, hix, hiy, hiz, kbases)
-    )
+    xs = (lox, loy, loz, hix, hiy, hiz, kbases)
+    if g.sph is not None:
+        xs = xs + g.sph
+    (tn, k), _ = lax.scan(body, init, xs)
     return tn, jnp.where(jnp.isfinite(tn), k, -1)
 
 
@@ -268,13 +375,9 @@ def _group_query(
         return t_best
 
     tn0, k0 = _next_candidate(
-        g, origin, inv_dir, neg_inf, jnp.full_like(idx_best, -1),
-        clamp(t_best, idx_best),
+        g, origin, direction, inv_dir, neg_inf,
+        jnp.full_like(idx_best, -1), clamp(t_best, idx_best),
     )
-
-    def cond(carry):
-        _, k, _, _ = carry
-        return jnp.any(k >= 0)
 
     def make_body(origin, direction, inv_dir):
         """Candidate-iteration body over an (possibly compacted) ray set."""
@@ -295,7 +398,8 @@ def _group_query(
             idx_best = jnp.where(better, tri_base + j_loc, idx_best)
             t_best = jnp.where(better, t_loc, t_best)
             tn, k = _next_candidate(
-                g, origin, inv_dir, tn, k, clamp(t_best, idx_best)
+                g, origin, direction, inv_dir, tn, k,
+                clamp(t_best, idx_best),
             )
             return tn, k, t_best, idx_best
 
@@ -303,61 +407,80 @@ def _group_query(
 
     body = make_body(origin, direction, inv_dir)
 
-    if (
-        COMPACT_CAP_FRAC <= 0.0
-        or int(g.base.shape[0]) < COMPACT_MIN_BOXES
-    ):
-        _, _, t_best, idx_best = lax.while_loop(
-            cond, body, (tn0, k0, t_best, idx_best)
+    def run_to_done(body_fn, state):
+        def cond_w(carry):
+            _, k, _, _ = carry
+            return jnp.any(k >= 0)
+
+        return lax.while_loop(cond_w, body_fn, state)
+
+    if not COMPACT_LADDER or int(g.base.shape[0]) < COMPACT_MIN_BOXES:
+        _, _, t_best, idx_best = run_to_done(
+            body, (tn0, k0, t_best, idx_best)
         )
         return t_best, idx_best
 
-    # Mid-walk live-lane compaction: run ONE candidate iteration at full
-    # width (live fraction is still ~25-40% there), then front-pack the
-    # surviving cursors to a fixed capacity and finish the walk at that
-    # width — every later iteration's prototype scan + box rescan costs
-    # capacity lanes instead of N (live fraction measured 2-6% from
-    # iteration 2 on detector arrays, PERF.md round 5). One lax.cond
-    # falls back to the full-width loop when survivors exceed capacity.
-    # Per-lane math is identical on gathered values and the merge is a
-    # pure scatter of the same results, so both branches are
-    # bit-identical to the uncompacted walk.
+    # Live-lane compaction ladder (PERF.md round 5): only 25-40% of
+    # lanes have ANY candidate, and the live fraction drops to 2-6%
+    # after one iteration — so every stage front-packs the live cursors
+    # to its static capacity, runs its iterations there, and scatters
+    # back; one lax.cond per stage falls back to full width when the
+    # live count exceeds the capacity. Per-lane math is identical on
+    # gathered values and the merge is a pure scatter of the same
+    # results, so every branch is bit-identical to the uncompacted walk.
     from ..accel import _frontpack_sel
 
-    # (guarded: a group where no lane has a candidate must stay free,
-    # as it was with the bare while_loop)
-    tn, k, t_best, idx_best = lax.cond(
-        jnp.any(k0 >= 0),
-        body,
-        lambda c: c,
-        (tn0, k0, t_best, idx_best),
-    )
     N = origin.shape[0]
-    cap = max(128, min(N, int(N * COMPACT_CAP_FRAC)))
-    live = k >= 0
-    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
-    fits = pos[-1] + 1 <= cap
+    state = (tn0, k0, t_best, idx_best)
 
-    def compacted(_):
-        sel = _frontpack_sel(live, pos, cap)
-        take = lambda a: jnp.take(a, sel, axis=0)
-        body_c = make_body(take(origin), take(direction), take(inv_dir))
-        _, _, tb_c, ib_c = lax.while_loop(
-            cond,
-            body_c,
-            (take(tn), take(k), take(t_best), take(idx_best)),
-        )
-        p = jnp.clip(pos, 0, cap - 1)
-        return (
-            jnp.where(live, jnp.take(tb_c, p), t_best),
-            jnp.where(live, jnp.take(ib_c, p), idx_best),
-        )
+    def run_n(body_fn, state, iters):
+        def cond_n(carry):
+            i, st = carry
+            return (i < iters) & jnp.any(st[1] >= 0)
 
-    def full(_):
-        _, _, tb, ib = lax.while_loop(cond, body, (tn, k, t_best, idx_best))
-        return tb, ib
+        def body_n(carry):
+            i, st = carry
+            return i + 1, body_fn(st)
 
-    return lax.cond(fits, compacted, full, None)
+        _, st = lax.while_loop(cond_n, body_n, (jnp.int32(0), state))
+        return st
+
+    for cap_frac, iters in COMPACT_LADDER:
+        live = state[1] >= 0
+        pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+        cap = max(128, min(N, int(N * cap_frac)))
+        fits = pos[-1] + 1 <= cap
+
+        def compacted(state, cap=cap, iters=iters, live=live, pos=pos):
+            sel = _frontpack_sel(live, pos, cap)
+            take = lambda a: jnp.take(a, sel, axis=0)
+            body_c = make_body(
+                take(origin), take(direction), take(inv_dir)
+            )
+            st_c = tuple(take(a) for a in state)
+            st_c = (
+                run_to_done(body_c, st_c)
+                if iters < 0
+                else run_n(body_c, st_c, iters)
+            )
+            p = jnp.clip(pos, 0, cap - 1)
+            return tuple(
+                jnp.where(live, jnp.take(c, p), a)
+                for a, c in zip(state, st_c)
+            )
+
+        def full(state, iters=iters):
+            return (
+                run_to_done(body, state)
+                if iters < 0
+                else run_n(body, state, iters)
+            )
+
+        state = lax.cond(fits, compacted, full, state)
+        if iters < 0:
+            break
+    _, _, t_best, idx_best = state
+    return t_best, idx_best
 
 
 def occluded_instanced(
