@@ -373,8 +373,8 @@ def main() -> None:
         # the domain's flagship scaling workload in the same artifact: a
         # 27-module SceneTemplate detector array under accel='auto'
         # (instanced), full MIS tracer (tools/bench_detector_array.py has
-        # the sweep; PERF.md round 5 the analysis: 6.7x over brute at 27
-        # modules, 19x at 125, bit-identical histograms)
+        # the sweep; PERF.md round 5 + cont.: ~7x over brute at 27
+        # modules, ~38x at 125, ~87x at 1000, bit-identical histograms)
         try:
             sys.path.insert(
                 0,

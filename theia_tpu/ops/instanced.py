@@ -68,6 +68,19 @@ COMPACT_LADDER_SPEC = os.environ.get(
     "THEIA_INSTANCED_LADDER", "0.5:1,0.0625:-1"
 )
 
+#: deeper ladder for groups with >= LADDER_LARGE_MIN_BOXES instances:
+#: their walks have a longer tail (worst lane crosses ~n_side boxes), so
+#: an extra mid shrink pays (round-5 A/B, same session, bit-identical:
+#: at 512 modules 1.80x vs 1.63x for the default ladder over the
+#: round-5 committed behavior; at 1000 modules 1.26x over the default
+#: ladder; at 125 modules the default wins 1.98x vs 1.84x)
+COMPACT_LADDER_LARGE_SPEC = os.environ.get(
+    "THEIA_INSTANCED_LADDER_LARGE", "0.5:1,0.125:2,0.03125:-1"
+)
+LADDER_LARGE_MIN_BOXES = int(
+    os.environ.get("THEIA_INSTANCED_LADDER_LARGE_MIN", "256")
+)
+
 
 def _parse_ladder(spec: str) -> tuple:
     if not spec:
@@ -82,6 +95,7 @@ def _parse_ladder(spec: str) -> tuple:
 
 
 COMPACT_LADDER = _parse_ladder(COMPACT_LADDER_SPEC)
+COMPACT_LADDER_LARGE = _parse_ladder(COMPACT_LADDER_LARGE_SPEC)
 
 #: minimum instances in a group before the mid-walk compaction engages:
 #: walks are short on small arrays, so the pack/unpack overhead loses
@@ -414,7 +428,13 @@ def _group_query(
 
         return lax.while_loop(cond_w, body_fn, state)
 
-    if not COMPACT_LADDER or int(g.base.shape[0]) < COMPACT_MIN_BOXES:
+    n_boxes = int(g.base.shape[0])
+    ladder = (
+        COMPACT_LADDER_LARGE
+        if n_boxes >= LADDER_LARGE_MIN_BOXES and COMPACT_LADDER_LARGE
+        else COMPACT_LADDER
+    )
+    if not ladder or n_boxes < COMPACT_MIN_BOXES:
         _, _, t_best, idx_best = run_to_done(
             body, (tn0, k0, t_best, idx_best)
         )
@@ -445,7 +465,7 @@ def _group_query(
         _, st = lax.while_loop(cond_n, body_n, (jnp.int32(0), state))
         return st
 
-    for cap_frac, iters in COMPACT_LADDER:
+    for cap_frac, iters in ladder:
         live = state[1] >= 0
         pos = jnp.cumsum(live.astype(jnp.int32)) - 1
         cap = max(128, min(N, int(N * cap_frac)))
