@@ -374,7 +374,7 @@ def main() -> None:
         # 27-module SceneTemplate detector array under accel='auto'
         # (instanced), full MIS tracer (tools/bench_detector_array.py has
         # the sweep; PERF.md round 5 + cont.: ~7x over brute at 27
-        # modules, ~38x at 125, ~87x at 1000, bit-identical histograms)
+        # modules, ~41x at 125, ~92x at 1000, bit-identical histograms)
         try:
             sys.path.insert(
                 0,

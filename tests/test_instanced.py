@@ -300,3 +300,85 @@ def test_midwalk_compaction_bit_identical(ladder, monkeypatch):
     )(o, d)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     np.testing.assert_array_equal(np.asarray(t), np.asarray(t_ref))
+
+
+def test_sphere_pretest_gate_and_bit_identity(monkeypatch):
+    """The bounding-sphere candidate pretest (PERF.md round 5) packs
+    spheres only for sphere-like prototypes (tightness gate) and never
+    changes results: a sphere-module group packs them, a suzanne group
+    (box-filling mesh) does not, and forcing the pretest off is
+    bit-identical on a sphere-packed scene."""
+    import theia_tpu.ops.instanced as inst
+    from theia_tpu.ops.instanced import nearest_triangle_instanced
+
+    scene = array_scene(3, "instanced", mixed=True)
+    groups = scene.pack.instanced.groups
+    by_size = sorted(groups, key=lambda g: int(g.base.shape[0]))
+    spheres = by_size[-1]
+    assert int(spheres.base.shape[0]) == 27 and spheres.sph is not None
+
+    # a cube fills its AABB: bounding sphere == circumsphere -> no pack
+    mat = Material("m", None, None, flags="B")
+    store = MaterialStore.pack([mat])
+    meshes = MeshStore({"cube": f"{ASSETS}/cube.ply"})
+    cubes = [
+        meshes.createInstance(
+            "cube", "m", Transform.TRS(translate=(3.0 * i, 0.0, 0.0))
+        )
+        for i in range(2)
+    ]
+    cube_scene = Scene(cubes, store, medium=None, accel="instanced")
+    assert all(g.sph is None for g in cube_scene.pack.instanced.groups)
+
+    o, d = random_rays(4096, seed=7)
+    pack = scene.pack.instanced
+    t_on, i_on = jax.jit(
+        lambda o, d: nearest_triangle_instanced(pack, o, d, jnp.inf, 256)
+    )(o, d)
+    # strip the packed spheres -> the plain slab-only scan
+    import dataclasses
+
+    stripped = dataclasses.replace(
+        pack,
+        groups=tuple(dataclasses.replace(g, sph=None) for g in pack.groups),
+    )
+    t_off, i_off = jax.jit(
+        lambda o, d: nearest_triangle_instanced(stripped, o, d, jnp.inf, 256)
+    )(o, d)
+    np.testing.assert_array_equal(np.asarray(i_on), np.asarray(i_off))
+    np.testing.assert_array_equal(np.asarray(t_on), np.asarray(t_off))
+
+
+def test_ladder_selection_by_group_size(monkeypatch):
+    """Groups at/above LADDER_LARGE_MIN_BOXES use the deeper ladder;
+    smaller ones the default — both bit-identical to the plain walk
+    (the A/B that set the defaults: PERF.md round 5 cont.)."""
+    import theia_tpu.ops.instanced as inst
+    from theia_tpu.ops.instanced import nearest_triangle_instanced
+
+    scene = array_scene(3, "instanced")
+    pack = scene.pack.instanced
+    o, d = random_rays(2048, seed=11)
+
+    monkeypatch.setattr(inst, "COMPACT_MIN_BOXES", 1)
+    monkeypatch.setattr(inst, "COMPACT_LADDER", ())
+    monkeypatch.setattr(inst, "COMPACT_LADDER_LARGE", ())
+    t_ref, i_ref = jax.jit(
+        lambda o, d: nearest_triangle_instanced(pack, o, d, jnp.inf, 256)
+    )(o, d)
+
+    # force the 27-instance group through the LARGE ladder
+    monkeypatch.setattr(inst, "LADDER_LARGE_MIN_BOXES", 16)
+    monkeypatch.setattr(
+        inst, "COMPACT_LADDER", inst._parse_ladder("0.375:1,0.0625:-1")
+    )
+    monkeypatch.setattr(
+        inst,
+        "COMPACT_LADDER_LARGE",
+        inst._parse_ladder("0.375:1,0.125:2,0.03125:-1"),
+    )
+    t, i = jax.jit(
+        lambda o, d: nearest_triangle_instanced(pack, o, d, jnp.inf, 256)
+    )(o, d)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(t_ref))

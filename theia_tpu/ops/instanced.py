@@ -30,6 +30,15 @@ instances in per-lane nearest-entry order*:
 Worst case (every lane crosses every box with no hit) degrades to
 K * T_proto tests — the same count as brute force — so the backend is
 never catastrophically wrong, just pays the box scans on top.
+
+Two work reducers wrap the walk (both bit-identical, PERF.md round 5):
+a compaction LADDER front-packs the lanes that have any candidate
+(25-40% of the wavefront) to a static capacity before the first
+iteration and shrinks again for the tail (``COMPACT_LADDER`` /
+``COMPACT_LADDER_LARGE``), and the candidate scan rejects instances
+whose conservative world bounding sphere the segment provably misses
+(``SPHERE_PRETEST`` — sphere-like modules fill only ~pi/6 of a
+corner-crossing box candidate's cross-section).
 """
 
 from __future__ import annotations
@@ -64,8 +73,11 @@ import os
 #: under a 0.5 cap; from iteration 2 the live fraction is 2-6% and a
 #: tight cap pays directly. Empty string disables compaction entirely
 #: (diagnostic; results bit-identical either way).
+#: stage-A cap 0.375: the live fraction is 25-40%, so 0.375 usually
+#: fits and beats 0.5 by its width ratio (round-5 sweep: +8.6% at 125
+#: modules, +5.3% at 512; 0.3125 overflows into the fallback and loses)
 COMPACT_LADDER_SPEC = os.environ.get(
-    "THEIA_INSTANCED_LADDER", "0.5:1,0.0625:-1"
+    "THEIA_INSTANCED_LADDER", "0.375:1,0.0625:-1"
 )
 
 #: deeper ladder for groups with >= LADDER_LARGE_MIN_BOXES instances:
@@ -75,7 +87,7 @@ COMPACT_LADDER_SPEC = os.environ.get(
 #: round-5 committed behavior; at 1000 modules 1.26x over the default
 #: ladder; at 125 modules the default wins 1.98x vs 1.84x)
 COMPACT_LADDER_LARGE_SPEC = os.environ.get(
-    "THEIA_INSTANCED_LADDER_LARGE", "0.5:1,0.125:2,0.03125:-1"
+    "THEIA_INSTANCED_LADDER_LARGE", "0.375:1,0.125:2,0.03125:-1"
 )
 LADDER_LARGE_MIN_BOXES = int(
     os.environ.get("THEIA_INSTANCED_LADDER_LARGE_MIN", "256")
@@ -101,7 +113,7 @@ COMPACT_LADDER_LARGE = _parse_ladder(COMPACT_LADDER_LARGE_SPEC)
 #: walks are short on small arrays, so the pack/unpack overhead loses
 #: (measured end-to-end on the tracer at cap 1/16: -3% at 27 modules,
 #: +5% at 125, +15% at 512 — PERF.md round 5); re-tune on real silicon
-#: with tools/bench_detector_array.py + THEIA_INSTANCED_COMPACT={0,...}
+#: with tools/bench_detector_array.py + THEIA_INSTANCED_LADDER=...
 COMPACT_MIN_BOXES = int(os.environ.get("THEIA_INSTANCED_COMPACT_MIN", "100"))
 
 #: per-instance bounding-sphere pretest in the candidate scan: a ray can
