@@ -130,6 +130,14 @@ COMPACT_MIN_BOXES = int(os.environ.get("THEIA_INSTANCED_COMPACT_MIN", "100"))
 SPHERE_PRETEST = os.environ.get("THEIA_INSTANCED_SPHERE", "1") != "0"
 SPHERE_TIGHT = 0.95
 
+#: apply the sphere pretest in the INITIAL full-width candidate scan
+#: too (not just the compacted rescans). On: smaller live set for the
+#: ladder + no wasted first prototype scan on sphere-missing
+#: candidates; off: the initial scan is ~2x cheaper per box. The
+#: rescans always apply it (a sphere-off scan visits a strict superset
+#: of candidates, so any mix is result-identical).
+SPHERE_IN_INIT = os.environ.get("THEIA_INSTANCED_SPHERE_INIT", "1") != "0"
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -274,7 +282,8 @@ def _pack_spheres(centers: "np.ndarray", radii: "np.ndarray") -> tuple:
 
 
 def _next_candidate(
-    g: GroupPack, origin, direction, inv_dir, last_tn, last_k, t_best
+    g: GroupPack, origin, direction, inv_dir, last_tn, last_k, t_best,
+    use_sph: bool = True,
 ):
     """Per lane: the nearest instance box strictly after the ``(last_tn,
     last_k)`` cursor whose entry is closer than the current best hit.
@@ -284,17 +293,18 @@ def _next_candidate(
     accel._seg_hits_sphere, component-wise over the chunk)."""
     lox, loy, loz, hix, hiy, hiz = g.box  # pre-packed SoA, padded
     n_chunks = lox.shape[0]
+    sph = g.sph if use_sph else None
 
     ox, oy, oz = (origin[:, i : i + 1] for i in range(3))
     ivx, ivy, ivz = (inv_dir[:, i : i + 1] for i in range(3))
-    if g.sph is not None:
+    if sph is not None:
         dx, dy, dz = (direction[:, i : i + 1] for i in range(3))
         d2 = dx * dx + dy * dy + dz * dz
         neg_inv_d2 = -1.0 / jnp.maximum(d2, 1e-30)
 
     def body(carry, chunk):
         best_tn, best_k = carry
-        if g.sph is not None:
+        if sph is not None:
             clox, cloy, cloz, chix, chiy, chiz, kbase, scx, scy, scz, sr2 = (
                 chunk
             )
@@ -325,7 +335,7 @@ def _next_candidate(
                 | ((tn == last_tn[:, None]) & (ks > last_k[:, None]))
             )
         )
-        if g.sph is not None:
+        if sph is not None:
             # segment-vs-bounding-sphere rejection (conservative; NaNs
             # from degenerate lanes compare False and only clear ok)
             ocx = ox - scx[None]
@@ -372,8 +382,8 @@ def _next_candidate(
     )
     kbases = jnp.arange(n_chunks, dtype=jnp.int32) * BOX_CHUNK
     xs = (lox, loy, loz, hix, hiy, hiz, kbases)
-    if g.sph is not None:
-        xs = xs + g.sph
+    if sph is not None:
+        xs = xs + sph
     (tn, k), _ = lax.scan(body, init, xs)
     return tn, jnp.where(jnp.isfinite(tn), k, -1)
 
@@ -403,6 +413,7 @@ def _group_query(
     tn0, k0 = _next_candidate(
         g, origin, direction, inv_dir, neg_inf,
         jnp.full_like(idx_best, -1), clamp(t_best, idx_best),
+        use_sph=SPHERE_IN_INIT,
     )
 
     def make_body(origin, direction, inv_dir):
