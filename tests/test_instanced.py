@@ -348,6 +348,17 @@ def test_sphere_pretest_gate_and_bit_identity(monkeypatch):
     np.testing.assert_array_equal(np.asarray(i_on), np.asarray(i_off))
     np.testing.assert_array_equal(np.asarray(t_on), np.asarray(t_off))
 
+    # all init placements of the pretest are result-identical (the
+    # rescans always filter; init-off/hybrid just scan supersets)
+    monkeypatch.setattr(inst, "COMPACT_MIN_BOXES", 1)  # ladder on
+    for mode in ("on", "off", "hybrid"):
+        monkeypatch.setattr(inst, "SPHERE_INIT_MODE", mode)
+        t_m, i_m = jax.jit(
+            lambda o, d: nearest_triangle_instanced(pack, o, d, jnp.inf, 256)
+        )(o, d)
+        np.testing.assert_array_equal(np.asarray(i_m), np.asarray(i_on), mode)
+        np.testing.assert_array_equal(np.asarray(t_m), np.asarray(t_on), mode)
+
 
 def test_ladder_selection_by_group_size(monkeypatch):
     """Groups at/above LADDER_LARGE_MIN_BOXES use the deeper ladder;

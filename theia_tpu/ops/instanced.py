@@ -130,13 +130,21 @@ COMPACT_MIN_BOXES = int(os.environ.get("THEIA_INSTANCED_COMPACT_MIN", "100"))
 SPHERE_PRETEST = os.environ.get("THEIA_INSTANCED_SPHERE", "1") != "0"
 SPHERE_TIGHT = 0.95
 
-#: apply the sphere pretest in the INITIAL full-width candidate scan
-#: too (not just the compacted rescans). On: smaller live set for the
-#: ladder + no wasted first prototype scan on sphere-missing
-#: candidates; off: the initial scan is ~2x cheaper per box. The
-#: rescans always apply it (a sphere-off scan visits a strict superset
-#: of candidates, so any mix is result-identical).
-SPHERE_IN_INIT = os.environ.get("THEIA_INSTANCED_SPHERE_INIT", "1") != "0"
+#: sphere pretest placement for the INITIAL full-width candidate scan
+#: (the compacted rescans always apply it; a sphere-off scan visits a
+#: strict superset of candidates, so any mix is result-identical):
+#:   "on"     — test in the initial scan too (smaller live set for the
+#:              ladder, no wasted first prototype scan)
+#:   "off"    — slab-only initial scan (~2x cheaper per box; measured
+#:              -8% at 512 / -5% at 1000 modules: the larger live set
+#:              costs more than the scan saves)
+#:   "hybrid" — slab-only initial scan, then re-derive the first
+#:              sphere-valid candidate at the ladder's stage-A width
+#:              (cursor reset to -inf on the compacted lanes): the
+#:              O(N x K) scan pays slab-only cost and the sphere filter
+#:              runs at 0.375 N
+_SIM = os.environ.get("THEIA_INSTANCED_SPHERE_INIT", "1")
+SPHERE_INIT_MODE = {"1": "on", "0": "off"}.get(_SIM, _SIM)
 
 
 @jax.tree_util.register_dataclass
@@ -410,10 +418,11 @@ def _group_query(
             return jnp.where(idx_best >= 0, -jnp.inf, t_best)
         return t_best
 
+    init_sph = SPHERE_INIT_MODE == "on"
     tn0, k0 = _next_candidate(
         g, origin, direction, inv_dir, neg_inf,
         jnp.full_like(idx_best, -1), clamp(t_best, idx_best),
-        use_sph=SPHERE_IN_INIT,
+        use_sph=init_sph,
     )
 
     def make_body(origin, direction, inv_dir):
@@ -488,19 +497,33 @@ def _group_query(
         _, st = lax.while_loop(cond_n, body_n, (jnp.int32(0), state))
         return st
 
-    for cap_frac, iters in ladder:
+    hybrid = SPHERE_INIT_MODE == "hybrid" and g.sph is not None
+    for si, (cap_frac, iters) in enumerate(ladder):
         live = state[1] >= 0
         pos = jnp.cumsum(live.astype(jnp.int32)) - 1
         cap = max(128, min(N, int(N * cap_frac)))
         fits = pos[-1] + 1 <= cap
 
-        def compacted(state, cap=cap, iters=iters, live=live, pos=pos):
+        def compacted(
+            state, cap=cap, iters=iters, live=live, pos=pos,
+            rederive=hybrid and si == 0,
+        ):
             sel = _frontpack_sel(live, pos, cap)
             take = lambda a: jnp.take(a, sel, axis=0)
-            body_c = make_body(
-                take(origin), take(direction), take(inv_dir)
-            )
+            o_c, d_c, iv_c = take(origin), take(direction), take(inv_dir)
+            body_c = make_body(o_c, d_c, iv_c)
             st_c = tuple(take(a) for a in state)
+            if rederive:
+                # hybrid init: the full-width scan was slab-only; find
+                # the first SPHERE-valid candidate here at stage width
+                # (cursor reset revisits nothing the walk has processed)
+                _, k_c, tb_c, ib_c = st_c
+                tn_c, k_c = _next_candidate(
+                    g, o_c, d_c, iv_c,
+                    jnp.full(o_c.shape[:1], -jnp.inf, jnp.float32),
+                    jnp.full_like(k_c, -1), clamp(tb_c, ib_c),
+                )
+                st_c = (tn_c, k_c, tb_c, ib_c)
             st_c = (
                 run_to_done(body_c, st_c)
                 if iters < 0
