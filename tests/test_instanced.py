@@ -268,7 +268,8 @@ def test_any_hit_occlusion_matches_nearest():
     "ladder",
     [
         "",  # compaction disabled
-        "0.5:1,0.0625:-1",  # the default two-stage ladder
+        "0.375:1,0.0625:-1",  # the shipped default two-stage ladder
+        "0.375:1,0.125:2,0.03125:-1",  # the shipped large-group ladder
         "0.004:-1",  # the capacity-overflow fallback on every stage
         "0.5:1,0.25:2,0.0625:-1",  # a deeper ladder
     ],

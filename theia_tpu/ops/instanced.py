@@ -95,12 +95,26 @@ LADDER_LARGE_MIN_BOXES = int(
 
 
 def _parse_ladder(spec: str) -> tuple:
-    if not spec:
-        return ()
-    stages = []
-    for part in spec.split(","):
-        cap, iters = part.split(":")
-        stages.append((float(cap), int(iters)))
+    try:
+        if not spec:
+            return ()
+        stages = []
+        for part in spec.split(","):
+            cap, iters = part.split(":")
+            stages.append((float(cap), int(iters)))
+    except ValueError as e:
+        raise ValueError(
+            f"bad ladder spec {spec!r} (THEIA_INSTANCED_LADDER[_LARGE]): "
+            "expected comma-separated cap_frac:iters stages"
+        ) from e
+    # only the FINAL stage may run to completion (-1); a negative iters
+    # earlier would silently truncate the ladder at _group_query's break
+    for cap, iters in stages[:-1]:
+        if iters < 1:
+            raise ValueError(
+                f"bad ladder spec {spec!r}: non-final stage "
+                f"{cap}:{iters} must have iters >= 1 (-1 only last)"
+            )
     if stages and stages[-1][1] != -1:
         stages.append((stages[-1][0], -1))
     return tuple(stages)
@@ -145,6 +159,11 @@ SPHERE_TIGHT = 0.95
 #:              runs at 0.375 N
 _SIM = os.environ.get("THEIA_INSTANCED_SPHERE_INIT", "1")
 SPHERE_INIT_MODE = {"1": "on", "0": "off"}.get(_SIM, _SIM)
+if SPHERE_INIT_MODE not in ("on", "off", "hybrid"):
+    raise ValueError(
+        f"THEIA_INSTANCED_SPHERE_INIT={_SIM!r}: expected 1/on, 0/off, "
+        "or hybrid"
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -200,6 +219,9 @@ def pack_instanced(instances, w2o_rows) -> InstancedPack:
                 v0=pos[idx[:, 0]],
                 e1=pos[idx[:, 1]] - pos[idx[:, 0]],
                 e2=pos[idx[:, 2]] - pos[idx[:, 0]],
+                # object-space vertices referenced by any triangle — the
+                # per-instance sphere bound transforms this subset once
+                used=pos[np.unique(idx.ravel())],
                 w2o=[],
                 blo=[],
                 bhi=[],
@@ -214,17 +236,14 @@ def pack_instanced(instances, w2o_rows) -> InstancedPack:
         g["bhi"].append(np.asarray(bb.upperCorner, np.float32))
         g["base"].append(base)
         base += len(inst.mesh.indices)
-        # conservative world bounding sphere over the instance's referenced
-        # vertices (same slack recipe as ScenePack's CullTables)
-        used = np.unique(np.asarray(mesh.indices).ravel())
-        wv = np.asarray(
-            inst.transform.apply(np.asarray(mesh.vertices[used, :3])),
-            np.float32,
-        )
-        c = 0.5 * (wv.min(axis=0) + wv.max(axis=0))
-        r = float(np.linalg.norm(wv - c, axis=1).max()) * 1.001 + 1e-5
-        g["sc"].append(c)
-        g["sr"].append(r)
+        if SPHERE_PRETEST:
+            # conservative world bounding sphere over the instance's
+            # referenced vertices (same slack recipe as CullTables)
+            wv = np.asarray(inst.transform.apply(g["used"]), np.float32)
+            c = 0.5 * (wv.min(axis=0) + wv.max(axis=0))
+            r = float(np.linalg.norm(wv - c, axis=1).max()) * 1.001 + 1e-5
+            g["sc"].append(c)
+            g["sr"].append(r)
 
     packed = []
     for g in groups.values():
