@@ -394,3 +394,61 @@ def test_ladder_selection_by_group_size(monkeypatch):
     )(o, d)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     np.testing.assert_array_equal(np.asarray(t), np.asarray(t_ref))
+
+
+def test_sphere_pretest_anisotropic_and_grazing():
+    """The sphere pretest must stay conservative for non-uniform-scale
+    instances (ellipsoids: the bound comes from transformed world
+    vertices, not the object-space sphere) and for rays grazing the
+    module surface — both compared against the brute scan."""
+    from theia_tpu.accel import _nearest, _nearest_triangle
+
+    mat = Material("m", None, None, flags="B")
+    store = MaterialStore.pack([mat])
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+    insts = [
+        meshes.createInstance(
+            "sphere",
+            "m",
+            Transform.TRS(
+                scale=(0.4, 0.15, 0.7),  # ellipsoid modules
+                translate=(2.0 * i, 2.0 * j, 0.0),
+            ),
+        )
+        for i in range(3)
+        for j in range(3)
+    ]
+    scene = Scene(insts, store, medium=None, accel="instanced")
+    assert all(
+        g.sph is not None for g in scene.pack.instanced.groups
+    )  # ellipsoid world bounds are still sphere-tight enough to pack
+
+    # grazing bundle: rays in +x aimed at the topmost surface point of
+    # each module (y = cy + 0.15*r_mesh), offset by tiny +-eps around it
+    eps = np.float32([0.0, -1e-5, 1e-5, -1e-4, 1e-4, -1e-3, 1e-3])
+    ys = []
+    for j in range(3):
+        ys.extend(2.0 * j + 0.15 * 0.967 + eps)  # sphere.stl max |y|~0.967
+    o = np.stack(
+        [
+            np.full(len(ys), -1.0, np.float32),
+            np.asarray(ys, np.float32),
+            np.zeros(len(ys), np.float32),
+        ],
+        axis=1,
+    )
+    d = np.tile(np.float32([1.0, 0.0, 0.0]), (len(ys), 1))
+    # plus a random bundle over the array
+    o_r, d_r = random_rays(4096, lo=-1.5, hi=5.5, seed=23)
+    o = jnp.concatenate([jnp.asarray(o), o_r])
+    d = jnp.concatenate([jnp.asarray(d), d_r])
+
+    t_b, i_b = _nearest_triangle(scene.pack, o, d, jnp.inf, 256)
+    t_i, i_i = _nearest(scene.pack, o, d, jnp.inf, 256)
+    t_b, i_b, t_i, i_i = map(np.asarray, (t_b, i_b, t_i, i_i))
+    hit_b = i_b >= 0
+    assert hit_b.any() and (~hit_b).any()
+    assert (hit_b == (i_i >= 0)).mean() > 0.999
+    both = hit_b & (i_i >= 0)
+    assert np.allclose(t_i[both], t_b[both], rtol=1e-4, atol=1e-5)
+    assert (i_i[both] == i_b[both]).mean() > 0.995
