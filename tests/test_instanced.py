@@ -452,3 +452,84 @@ def test_sphere_pretest_anisotropic_and_grazing():
     both = hit_b & (i_i >= 0)
     assert np.allclose(t_i[both], t_b[both], rtol=1e-4, atol=1e-5)
     assert (i_i[both] == i_b[both]).mean() > 0.995
+
+
+def test_query_profile_disables_ladder_for_primary(monkeypatch):
+    """Guide-less (pure-primary) traces skip the compaction ladder via
+    the trace-time query_profile contextvar (PERF.md round 5 cont.:
+    the ladder measured 0.84x on photon-mode arrays); the default MIS
+    profile engages it. Pinned by poisoning the front-pack helper."""
+    import theia_tpu.accel as accel_mod
+    import theia_tpu.ops.instanced as inst
+    from theia_tpu.ops.instanced import (
+        nearest_triangle_instanced,
+        query_profile,
+    )
+
+    scene = array_scene(3, "instanced")
+    pack = scene.pack.instanced
+    o, d = random_rays(1024, seed=13)
+    monkeypatch.setattr(inst, "COMPACT_MIN_BOXES", 1)
+
+    def boom(*a, **k):
+        raise AssertionError("ladder engaged")
+
+    monkeypatch.setattr(accel_mod, "_frontpack_sel", boom)
+    with query_profile("primary"):
+        t, i = nearest_triangle_instanced(pack, o, d, jnp.inf, 256)
+    assert (np.asarray(i) >= 0).any()
+    with pytest.raises(AssertionError, match="ladder engaged"):
+        nearest_triangle_instanced(pack, o, d, jnp.inf, 256)
+
+
+def test_photon_tracer_traces_under_primary_profile():
+    """ScenePhotonTracer's monolithic AND ladder-chunk programs trace
+    with the ladder disabled (photon mode is always guide-less), and
+    produce finite histograms on an instanced array scene."""
+    import theia_tpu.accel as accel_mod
+    import theia_tpu.units as u
+    from unittest import mock
+
+    from theia_tpu.light import SphericalLightSource, UniformWavelengthSource
+    from theia_tpu.random import PhiloxRNG
+    from theia_tpu.response import HistogramHitResponse
+    from theia_tpu.trace.photon import ScenePhotonTracer
+
+    mat = Material("det", None, None, flags="DB")
+    store = MaterialStore.pack([mat])
+    meshes = MeshStore({"sphere": f"{ASSETS}/sphere.stl"})
+    insts = [
+        meshes.createInstance(
+            "sphere",
+            "det",
+            Transform.TRS(scale=0.4, translate=(2.0 * i, 2.0 * j, 0.0)),
+            detectorId=0,
+        )
+        for i in range(2)
+        for j in range(2)
+    ]
+    scene = Scene(insts, store, medium=None, accel="instanced")
+    tracer = ScenePhotonTracer(
+        2048,
+        SphericalLightSource(
+            position=(1.0, 1.0, 0.0), timeRange=(0.0, 1.0), budget=1e5
+        ),
+        UniformWavelengthSource(lambdaRange=(400.0, 500.0)),
+        HistogramHitResponse(nBins=20, t0=0.0, binSize=5.0 * u.ns),
+        PhiloxRNG(key=5),
+        scene,
+        nScatteringPerRun=2,
+        nRuns=2,
+        targetId=-1,
+    )
+    import theia_tpu.ops.instanced as inst
+
+    with mock.patch.object(inst, "COMPACT_MIN_BOXES", 1), mock.patch.object(
+        accel_mod,
+        "_frontpack_sel",
+        side_effect=AssertionError("ladder engaged in photon trace"),
+    ):
+        hist, _ = tracer.run()
+        hist2 = tracer.run_compacted(min_lanes=64)
+    assert np.isfinite(np.asarray(hist)).all()
+    assert np.isfinite(np.asarray(hist2)).all()

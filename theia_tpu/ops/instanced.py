@@ -165,6 +165,35 @@ if SPHERE_INIT_MODE not in ("on", "off", "hybrid"):
         "or hybrid"
     )
 
+from contextlib import contextmanager
+from contextvars import ContextVar
+
+#: trace-time query profile: the compaction ladder pays for the MIS
+#: tracer's query mix (25-40% of lanes live) but LOSES on pure-primary
+#: wavefronts where nearly every lane is live (ScenePhotonTracer on a
+#: 125-module array: 0.84x, PERF.md round 5 cont.) — tracers that issue
+#: only primary nearest queries wrap their trace in
+#: ``query_profile("primary")`` to skip the ladder (any-hit occlusion
+#: walks keep it: their done-lanes retire immediately, so the live
+#: fraction drops fast and the ladder measured 1.06-1.07x). Read at
+#: TRACE time (contextvar -> thread-safe under the dispatch worker);
+#: results are bit-identical either way.
+QUERY_PROFILE: ContextVar = ContextVar(
+    "theia_instanced_query_profile", default="mis"
+)
+
+
+@contextmanager
+def query_profile(profile: str):
+    """Set the instanced-walk query profile while tracing a program."""
+    if profile not in ("mis", "primary"):
+        raise ValueError(f"unknown query profile {profile!r}")
+    tok = QUERY_PROFILE.set(profile)
+    try:
+        yield
+    finally:
+        QUERY_PROFILE.reset(tok)
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -485,6 +514,8 @@ def _group_query(
         if n_boxes >= LADDER_LARGE_MIN_BOXES and COMPACT_LADDER_LARGE
         else COMPACT_LADDER
     )
+    if QUERY_PROFILE.get() == "primary" and not any_hit:
+        ladder = ()  # pure-primary wavefronts: ~all lanes live (see above)
     if not ladder or n_boxes < COMPACT_MIN_BOXES:
         _, _, t_best, idx_best = run_to_done(
             body, (tn0, k0, t_best, idx_best)

@@ -602,6 +602,18 @@ class ScenePhotonTracer(_CompactionLadderMixin, SceneForwardTracer):
         return state
 
     def _ladder_chunk(self, p, counter, run, state, resp_state):
+        # photon mode is always guide-less -> pure-primary queries: skip
+        # the instanced compaction ladder for this separately-jitted
+        # chunk too (SceneForwardTracer._trace_batch selects the profile
+        # for the monolithic run; see ops/instanced.py QUERY_PROFILE)
+        from ..ops.instanced import query_profile
+
+        with query_profile("primary"):
+            return self._ladder_chunk_profiled(
+                p, counter, run, state, resp_state
+            )
+
+    def _ladder_chunk_profiled(self, p, counter, run, state, resp_state):
         pack = p["scene"]
         prop = self._propagation(p)
         streams = state["streams"]

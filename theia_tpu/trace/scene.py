@@ -957,6 +957,18 @@ class SceneForwardTracer(TracerBase):
         return body
 
     def _trace_batch(self, p, counter, streams):
+        # guide-less traces issue only primary nearest queries, where the
+        # instanced compaction ladder measured a net loss — select the
+        # profile for the whole traced program (bit-identical either way;
+        # ops/instanced.py QUERY_PROFILE)
+        from ..ops.instanced import query_profile
+
+        with query_profile(
+            "mis" if self.targetGuide is not None else "primary"
+        ):
+            return self._trace_batch_profiled(p, counter, streams)
+
+    def _trace_batch_profiled(self, p, counter, streams):
         pack: ScenePack = p["scene"]
         prop = self._propagation(p)
         mis = self.targetGuide is not None
